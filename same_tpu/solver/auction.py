@@ -1,0 +1,263 @@
+"""Jacobi auction solver with epsilon scaling (JAX, jit-compiled).
+
+This is the TPU replacement for Gurobi's branch-and-bound core (reference
+src/same.py:1240-1244). The window matching problem — after ref-capacity slot
+expansion (models/assignment.py) — is a pure assignment problem with an
+explicit per-bidder no-match (reservation) option, which forward auction
+solves to near-optimality while staying integral by construction.
+
+Design notes for the asymmetric (reservation-option) setting
+------------------------------------------------------------
+Plain forward auction with epsilon scaling is correct for symmetric
+assignment but breaks with a reservation option: prices inflated by coarse
+phases strand bidders on no-match, because forward prices never come down.
+The scheme here restores the needed complementary slackness with three rules:
+
+1. **No per-phase reset.** Prices *and* assignments carry across phases.
+2. **Boundary sweep.** At every phase boundary (and in the polish loop),
+   prices of slots without an owner are zeroed — the vectorized equivalent of
+   a reverse-auction round — and any slot-holder whose held value violates the
+   new epsilon-CS bound is released back into the bidding pool.
+3. **Reservation re-evaluation.** No-match bidders re-enter bidding the
+   moment some slot beats their reservation value at current prices (checked
+   every round; prices fall only at boundary sweeps, rise during bidding).
+
+After the epsilon schedule, the final phase is repeated (sweep + release +
+bid) until a fixed point: no price changes, no releases, no moves. At that
+point every slot-holder and every no-match bidder is eps-CS at prices under
+which every positively priced slot is owned — the conditions that bound
+suboptimality by ~n*eps_final. The MILP oracle tests in
+tests/test_auction.py verify this against exact HiGHS solves.
+
+All state lives in fixed-shape device arrays; one bidding round is a handful
+of [n, C] vector ops plus two scatters, executed inside ``lax.while_loop``
+so an entire solve is a single XLA computation with no host round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.assignment import AssignmentProblem
+
+
+class AuctionResult(NamedTuple):
+    choice: jax.Array   # [n] i32: winning column in [0, C) or C for no-match
+    prices: jax.Array   # [S+1] f32: final slot prices (last entry is dummy)
+    rounds: jax.Array   # [] i32: total bidding rounds executed
+
+
+def _values(costs, slots, valid, nm_cost, prices):
+    """[n, C+1] bidder values at current prices (last column = no-match)."""
+    p_slot = prices[slots]
+    vals = jnp.where(valid, -(costs + p_slot), -jnp.inf)
+    return jnp.concatenate([vals, -nm_cost[:, None]], axis=1)
+
+
+def _phase(costs, slots, valid, nm_cost, prices, assigned, owner, eps, max_rounds):
+    """One phase: boundary sweep, then bid to a fixed point at this epsilon."""
+    n, C = costs.shape
+    S = prices.shape[0] - 1
+    bidder_ids = jnp.arange(n, dtype=jnp.int32)
+    NULL = jnp.int32(C)
+
+    # --- Boundary sweep -----------------------------------------------------
+    # (a) Release slot-holders violating eps-CS at current prices.
+    vals_all = _values(costs, slots, valid, nm_cost, prices)
+    best = vals_all.max(axis=1)
+    held_col = jnp.clip(assigned, 0, C)
+    held_val = vals_all[bidder_ids, held_col]
+    holds_slot = (assigned >= 0) & (assigned < NULL)
+    release = holds_slot & (held_val < best - eps)
+    released_slots = jnp.where(
+        release, slots[bidder_ids, jnp.clip(held_col, 0, C - 1)], S
+    )
+    assigned = jnp.where(release, -1, assigned)
+    owner = owner.at[released_slots].set(-1, mode="drop")
+    owner = owner.at[S].set(-1)
+    # (b) Reverse pressure: unowned slots — including the ones just released,
+    # whose prices reflect coarser-epsilon overbidding — cannot justify a
+    # positive price. Without this, released bidders see their own former
+    # slot as overpriced and strand on no-match.
+    prices = jnp.where(owner < 0, 0.0, prices)
+
+    # --- Bidding loop -------------------------------------------------------
+    def cond(state):
+        assigned, owner, prices, moved, it = state
+        return (it < max_rounds) & moved
+
+    def body(state):
+        assigned, owner, prices, _moved, it = state
+        # Unassigned bidders act; no-match bidders re-evaluate every round.
+        active = (assigned < 0) | (assigned == NULL)
+
+        vals_all = _values(costs, slots, valid, nm_cost, prices)
+        top2, top2i = jax.lax.top_k(vals_all, 2)
+        v1, v2 = top2[:, 0], top2[:, 1]
+        choice = top2i[:, 0].astype(jnp.int32)
+        v2 = jnp.where(jnp.isfinite(v2), v2, v1 - 1.0)
+        incr = v1 - v2 + eps
+
+        is_null = choice == NULL
+        new_assigned = jnp.where(active & is_null & (assigned < 0), NULL, assigned)
+
+        bids_slot = active & ~is_null
+        tgt = jnp.where(bids_slot, slots[bidder_ids, jnp.clip(choice, 0, C - 1)], S)
+        bid = jnp.where(bids_slot, prices[tgt] + incr, -jnp.inf)
+
+        newp = prices.at[tgt].max(bid)
+        won = bids_slot & (bid >= newp[tgt])
+        # Tie-break winners by smallest bidder index via a scatter-min.
+        winner = jnp.full(S + 1, n, dtype=jnp.int32)
+        winner = winner.at[jnp.where(won, tgt, S)].min(
+            jnp.where(won, bidder_ids, n).astype(jnp.int32)
+        )
+        final_win = won & (winner[tgt] == bidder_ids)
+
+        slot_changed = winner < n
+        evict = slot_changed & (owner >= 0) & (owner != winner)
+        evict_targets = jnp.where(evict, owner, n)
+        new_assigned = new_assigned.at[evict_targets].set(-1, mode="drop")
+        new_assigned = jnp.where(final_win, choice, new_assigned)
+
+        new_owner = jnp.where(slot_changed, winner, owner)
+        new_owner = new_owner.at[S].set(-1)
+        newp = newp.at[S].set(0.0)
+
+        moved = jnp.any(new_assigned != assigned) | jnp.any(bids_slot)
+        return new_assigned, new_owner, newp, moved, it + 1
+
+    assigned, owner, prices, _m, it = jax.lax.while_loop(
+        cond,
+        body,
+        (assigned, owner, prices, jnp.bool_(True), jnp.int32(0)),
+    )
+    return assigned, owner, prices, it
+
+
+@functools.partial(jax.jit, static_argnames=("max_rounds", "max_polish"))
+def _auction_run(
+    costs, slots, valid, nm_cost, prices0, eps_schedule, max_rounds, max_polish=16
+):
+    n, C = costs.shape
+    S = prices0.shape[0] - 1
+    eps_final = eps_schedule[-1]
+
+    def phase_step(carry, eps):
+        prices, assigned, owner, total = carry
+        assigned, owner, prices, it = _phase(
+            costs, slots, valid, nm_cost, prices, assigned, owner, eps, max_rounds
+        )
+        return (prices, assigned, owner, total + it), None
+
+    assigned0 = jnp.full(n, -1, dtype=jnp.int32)
+    owner0 = jnp.full(S + 1, -1, dtype=jnp.int32)
+    (prices, assigned, owner, total), _ = jax.lax.scan(
+        phase_step, (prices0, assigned0, owner0, jnp.int32(0)), eps_schedule
+    )
+
+    # Polish: repeat the final phase until sweep+release+bids reach a joint
+    # fixed point (no assignment changes).
+    def polish_cond(state):
+        prices, assigned, owner, total, changed, k = state
+        return (k < max_polish) & changed
+
+    def polish_body(state):
+        prices, assigned, owner, total, _changed, k = state
+        new_assigned, new_owner, new_prices, it = _phase(
+            costs, slots, valid, nm_cost, prices, assigned, owner, eps_final,
+            max_rounds,
+        )
+        changed = jnp.any(new_assigned != assigned)
+        return new_prices, new_assigned, new_owner, total + it, changed, k + 1
+
+    prices, assigned, owner, total, _c, _k = jax.lax.while_loop(
+        polish_cond,
+        polish_body,
+        (prices, assigned, owner, total, jnp.bool_(True), jnp.int32(0)),
+    )
+
+    # Any bidder still unassigned after the round cap falls back to no-match
+    # (feasible by construction; only reachable on pathological inputs).
+    assigned = jnp.where(assigned < 0, jnp.int32(C), assigned)
+    return AuctionResult(choice=assigned, prices=prices, rounds=total)
+
+
+def make_eps_schedule(
+    cost_scale: float, eps_final: float, scaling: float
+) -> np.ndarray:
+    """Geometric epsilon schedule from ~cost_scale/2 down to eps_final."""
+    eps_final = max(float(eps_final), 1e-6)
+    eps0 = max(cost_scale / 2.0, eps_final)
+    n_phases = max(1, int(math.ceil(math.log(eps0 / eps_final) / math.log(scaling))) + 1)
+    eps = eps0 / (scaling ** np.arange(n_phases))
+    eps = np.maximum(eps, eps_final)
+    eps[-1] = eps_final
+    return eps.astype(np.float32)
+
+
+def solve_assignment(
+    problem: AssignmentProblem,
+    eps_final: float = 1e-2,
+    eps_scaling: float = 4.0,
+    max_rounds: int = 20000,
+    prices0: np.ndarray | None = None,
+    extra_costs: np.ndarray | None = None,
+):
+    """Solve a window assignment problem; returns (match_ref, match_pair, info).
+
+    match_ref : [n] ref row matched to each aligned point, or -1.
+    match_pair : [n] index into the original pair list, or -1.
+    info : dict with prices / rounds / epsilon schedule.
+
+    ``extra_costs`` ([n, C]) lets the space-tearing loop add pair-level
+    penalties without rebuilding the problem.
+    """
+    costs = jnp.asarray(problem.costs)
+    if extra_costs is not None:
+        costs = costs + jnp.asarray(extra_costs, costs.dtype)
+    valid = jnp.asarray(problem.valid)
+    nm = jnp.asarray(problem.nm_cost)
+
+    finite = np.asarray(problem.costs)[np.asarray(problem.valid)]
+    scale_candidates = [float(np.max(problem.nm_cost, initial=0.0))]
+    if finite.size:
+        scale_candidates.append(float(finite.max() - finite.min()))
+    cost_scale = max(scale_candidates + [1.0])
+    eps_schedule = make_eps_schedule(cost_scale, eps_final, eps_scaling)
+
+    S = problem.n_slots
+    if prices0 is None:
+        prices = jnp.zeros(S + 1, dtype=costs.dtype)
+    else:
+        prices = jnp.asarray(prices0, dtype=costs.dtype)
+
+    result = _auction_run(
+        costs,
+        jnp.asarray(problem.slots),
+        valid,
+        nm,
+        prices,
+        jnp.asarray(eps_schedule),
+        max_rounds=max_rounds,
+    )
+
+    choice = np.asarray(result.choice)
+    n, C = problem.costs.shape
+    col = np.clip(choice, 0, C - 1)
+    rows = np.arange(n)
+    is_match = choice < C
+    match_ref = np.where(is_match, problem.cand_ref[rows, col], -1).astype(np.int64)
+    match_pair = np.where(is_match, problem.pair_idx[rows, col], -1).astype(np.int64)
+    info = {
+        "prices": np.asarray(result.prices),
+        "rounds": int(result.rounds),
+        "eps_schedule": eps_schedule,
+    }
+    return match_ref, match_pair, info

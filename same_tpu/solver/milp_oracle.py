@@ -1,0 +1,211 @@
+"""Exact MIP oracle (HiGHS via scipy.optimize.milp) for parity testing.
+
+Reimplements the reference's Gurobi formulation exactly — binary match vars,
+congestion penalties, no-match vars, per-triangle tearing vars ``q_t``, and
+the lazy orientation-cut loop (reference src/same.py:621-704, 1112-1197;
+src/helpers.py:102-161) — on an open solver, so the TPU auction solver can be
+validated to objective parity on small instances without Gurobi. Not a
+production path: dense small problems only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+from scipy import sparse
+from scipy.optimize import Bounds, LinearConstraint, milp
+
+
+@dataclass
+class OracleResult:
+    x: np.ndarray              # [P] 0/1 pair selections
+    match_ref: np.ndarray      # [n] matched ref row or -1
+    objective: float
+    q: np.ndarray              # [T] tearing penalty vars
+    cuts: list = field(default_factory=list)
+    status: int = 0
+
+
+def solve_mip_oracle(
+    pairs: np.ndarray,
+    pair_costs: np.ndarray,
+    n_aligned: int,
+    n_ref: int,
+    ref_limits: np.ndarray,
+    penalty_coeff: float,
+    no_match_cost: np.ndarray,
+    triangles: Optional[np.ndarray] = None,
+    tri_weights: Optional[np.ndarray] = None,
+    source_signs: Optional[np.ndarray] = None,
+    ref_coords: Optional[np.ndarray] = None,
+    delaunay_penalty: float = 0.0,
+    lazy_allowed_flip_fraction: float = 0.0,
+    lazy_max_cuts: Optional[int] = None,
+    lazy_max_cuts_per_incumbent: int = 1000,
+    max_outer_iters: int = 50,
+    mip_gap: float = 1e-6,
+) -> OracleResult:
+    """Solve the window matching MIP exactly, with the lazy-cut outer loop."""
+    pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
+    P = len(pairs)
+    T = len(triangles) if triangles is not None else 0
+    tris = np.asarray(triangles, dtype=np.int64).reshape(-1, 3) if T else None
+
+    # Variable layout: [x (P), p (n_ref), nm (n_aligned), q (T)]
+    nv = P + n_ref + n_aligned + T
+    c = np.concatenate(
+        [
+            np.asarray(pair_costs, dtype=np.float64),
+            np.full(n_ref, float(penalty_coeff)),
+            np.asarray(no_match_cost, dtype=np.float64),
+            (np.asarray(tri_weights, dtype=np.float64) * float(delaunay_penalty))
+            if T
+            else np.empty(0),
+        ]
+    )
+    integrality = np.concatenate(
+        [np.ones(P), np.zeros(n_ref + n_aligned + T)]
+    )
+    lb = np.zeros(nv)
+    ub = np.concatenate(
+        [
+            np.ones(P),
+            np.full(n_ref, 1000.0),
+            np.ones(n_aligned),
+            np.full(T, np.inf) if T else np.empty(0),
+        ]
+    )
+
+    rows, cols, vals = [], [], []
+    con_lb, con_ub = [], []
+    r = 0
+    # per-aligned: sum x + nm == 1
+    for i in range(n_aligned):
+        idxs = np.flatnonzero(pairs[:, 0] == i)
+        for p in idxs:
+            rows.append(r); cols.append(p); vals.append(1.0)
+        rows.append(r); cols.append(P + n_ref + i); vals.append(1.0)
+        con_lb.append(1.0); con_ub.append(1.0)
+        r += 1
+    # per-ref: sum x <= limit ; sum x - p_j <= 1
+    for j in range(n_ref):
+        idxs = np.flatnonzero(pairs[:, 1] == j)
+        if len(idxs) == 0:
+            continue
+        for p in idxs:
+            rows.append(r); cols.append(p); vals.append(1.0)
+        con_lb.append(-np.inf); con_ub.append(float(ref_limits[j]))
+        r += 1
+        for p in idxs:
+            rows.append(r); cols.append(p); vals.append(1.0)
+        rows.append(r); cols.append(P + j); vals.append(-1.0)
+        con_lb.append(-np.inf); con_ub.append(1.0)
+        r += 1
+
+    base_rows, base_cols, base_vals = list(rows), list(cols), list(vals)
+    base_lb, base_ub = list(con_lb), list(con_ub)
+    base_r = r
+
+    cuts: list[tuple[int, int, int, int]] = []  # (tri_idx, pa, pb, pc)
+
+    def solve_once():
+        rr, cc, vv = list(base_rows), list(base_cols), list(base_vals)
+        clb, cub = list(base_lb), list(base_ub)
+        rloc = base_r
+        for (t, pa, pb, pc) in cuts:
+            for p in (pa, pb, pc):
+                rr.append(rloc); cc.append(p); vv.append(1.0)
+            rr.append(rloc); cc.append(P + n_ref + n_aligned + t); vv.append(-1.0)
+            clb.append(-np.inf); cub.append(2.0)
+            rloc += 1
+        A = sparse.csr_matrix((vv, (rr, cc)), shape=(rloc, nv))
+        res = milp(
+            c=c,
+            constraints=LinearConstraint(A, np.array(clb), np.array(cub)),
+            integrality=integrality,
+            bounds=Bounds(lb, ub),
+            options={"mip_rel_gap": mip_gap},
+        )
+        if res.x is None:
+            raise RuntimeError(f"MILP oracle failed: {res.message}")
+        return res
+
+    pair_index_by_vertex = {}
+    for p, (i, j) in enumerate(pairs):
+        pair_index_by_vertex.setdefault(int(i), {})[int(j)] = p
+
+    res = solve_once()
+    cuts_added_total = 0
+    for _ in range(max_outer_iters):
+        xv = res.x[:P] > 0.5
+        match_ref = np.full(n_aligned, -1, dtype=np.int64)
+        match_pair = np.full(n_aligned, -1, dtype=np.int64)
+        for p in np.flatnonzero(xv):
+            match_ref[pairs[p, 0]] = pairs[p, 1]
+            match_pair[pairs[p, 0]] = p
+        if not T or delaunay_penalty == 0.0:
+            break
+        # Separation: flipped triangles under current matching (reference
+        # src/same.py:641-669 semantics).
+        violating = []
+        checked = 0
+        for t in range(T):
+            a, b, cc_ = tris[t]
+            if match_ref[a] < 0 or match_ref[b] < 0 or match_ref[cc_] < 0:
+                continue
+            if source_signs[t] == 0:
+                continue
+            pa_, pb_, pc_ = ref_coords[match_ref[a]], ref_coords[match_ref[b]], ref_coords[match_ref[cc_]]
+            cross = (pb_[0] - pa_[0]) * (pc_[1] - pa_[1]) - (pb_[1] - pa_[1]) * (
+                pc_[0] - pa_[0]
+            )
+            rs = np.sign(cross)
+            if rs == 0:
+                continue
+            checked += 1
+            if rs != source_signs[t]:
+                violating.append(t)
+        if checked == 0 or not violating:
+            break
+        if lazy_allowed_flip_fraction is not None:
+            if len(violating) / checked <= lazy_allowed_flip_fraction:
+                break
+        added = 0
+        existing = set(cuts)
+        for t in violating:
+            if added >= lazy_max_cuts_per_incumbent:
+                break
+            if lazy_max_cuts is not None and cuts_added_total >= lazy_max_cuts:
+                break
+            a, b, cc_ = tris[t]
+            cut = (
+                int(t),
+                pair_index_by_vertex[int(a)][int(match_ref[a])],
+                pair_index_by_vertex[int(b)][int(match_ref[b])],
+                pair_index_by_vertex[int(cc_)][int(match_ref[cc_])],
+            )
+            if cut in existing:
+                continue
+            cuts.append(cut)
+            existing.add(cut)
+            added += 1
+            cuts_added_total += 1
+        if added == 0:
+            break
+        res = solve_once()
+
+    xv = res.x[:P] > 0.5
+    match_ref = np.full(n_aligned, -1, dtype=np.int64)
+    for p in np.flatnonzero(xv):
+        match_ref[pairs[p, 0]] = pairs[p, 1]
+    q = res.x[P + n_ref + n_aligned :] if T else np.empty(0)
+    return OracleResult(
+        x=res.x[:P],
+        match_ref=match_ref,
+        objective=float(res.fun),
+        q=q,
+        cuts=cuts,
+        status=int(res.status),
+    )

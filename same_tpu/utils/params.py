@@ -1,0 +1,111 @@
+"""Parameter dictionaries for SAME-TPU.
+
+API-parity note: the reference (rohitsinghlab/SAME) exposes two override-able
+default dicts, ``init_gurobi_params`` (src/same.py:40-130) and
+``init_optim_params`` (src/same.py:133-242). We keep the same key names and
+defaults so existing notebooks/scripts run unmodified. Gurobi-only tuning knobs
+(mip_focus, cuts, heuristics) are accepted and ignored by the TPU solver;
+``mip_gap`` and ``time_limit`` map onto the auction solver's optimality
+tolerance and wall-clock budget. Extra ``tpu_*`` keys control the TPU
+assignment solver and can be overridden the same way.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+
+def init_solver_params(**overrides) -> Dict[str, Any]:
+    """Create default solver parameters for SAME-TPU optimization.
+
+    Mirrors the reference's ``init_gurobi_params`` key set
+    (reference src/same.py:106-130) and adds TPU auction-solver knobs.
+
+    Keys
+    ----
+    time_limit : float — wall-clock budget per window solve (seconds).
+    mip_gap : float — relative optimality tolerance; drives the final auction
+        epsilon (n * eps_final <= mip_gap * |objective| heuristic).
+    mip_focus, cuts, heuristics : accepted for API parity; unused on TPU.
+    init_method : None | 'greedy' | 'hungarian' — warm-start for solver prices.
+    init_big_m, init_hungarian_max_n : warm-start controls (parity).
+    lazy_max_cuts : int or None — global cap on tearing cuts.
+    lazy_allowed_flip_fraction : float — flip budget; no cuts are generated
+        while the flip fraction is at or below this (reference src/same.py:674-679).
+    lazy_max_cuts_per_incumbent : int — per-round cap on new cuts.
+
+    TPU solver keys
+    ---------------
+    tpu_eps_scaling : float — epsilon divisor between auction phases.
+    tpu_eps_final : float — final epsilon (absolute, cost units).
+    tpu_max_rounds_per_phase : int — bidding-round cap per epsilon phase.
+    tpu_max_tear_rounds : int — outer separation-loop cap.
+    tpu_use_pallas : bool — use Pallas kernels where available.
+    """
+    params: Dict[str, Any] = {
+        # Core solve controls (parity with reference)
+        "time_limit": 7200,
+        "mip_gap": 0.05,
+        # Gurobi tuning knobs — accepted, ignored (parity)
+        "mip_focus": 2,
+        "cuts": 2,
+        "heuristics": 0.1,
+        # Warm start
+        "init_method": None,
+        "init_big_m": 1e9,
+        "init_hungarian_max_n": 5000,
+        # Lazy (tearing) constraint knobs
+        "lazy_max_cuts": None,
+        "lazy_allowed_flip_fraction": 0.05,
+        "lazy_max_cuts_per_incumbent": 1000,
+        # TPU auction solver knobs
+        "tpu_eps_scaling": 4.0,
+        "tpu_eps_final": 1e-2,
+        "tpu_max_rounds_per_phase": 20000,
+        "tpu_max_tear_rounds": 25,
+        "tpu_use_pallas": True,
+    }
+    params.update(overrides)
+    return params
+
+
+# Backwards-compatible alias: the reference public API calls this
+# ``init_gurobi_params`` (reference src/__init__.py:56-65). There is no Gurobi
+# here, but the notebooks use this name.
+def init_gurobi_params(**overrides) -> Dict[str, Any]:
+    """Alias of :func:`init_solver_params` kept for reference-API parity."""
+    return init_solver_params(**overrides)
+
+
+def init_optim_params(**overrides) -> Dict[str, Any]:
+    """Create default optimization parameters for SAME matching.
+
+    Key set and defaults match the reference ``init_optim_params``
+    (reference src/same.py:215-242).
+    """
+    params: Dict[str, Any] = {
+        # Sliding window params
+        "window_size": 1000,
+        "overlap": 250,
+        "min_cells_per_window": 10,
+        # Matching problem params
+        "max_matches": 1,
+        "ref_metacell_match_multiplier": None,
+        "radius": 250,
+        "penalty_coeff": 100,
+        "no_match_penalty": 100,
+        "delaunay_penalty": 5,
+        "dist_ct_coeff": 1,
+        "knn": 8,
+        # Output labeling
+        "cell_id_col": "Cell_Num_Old",
+        # Constraint/behavior flags
+        "hard_spatial_constraints": False,
+        "ignore_same_type_triangles": True,
+        "ignore_knn_if_matched": False,
+        "lazy_constraints": True,
+        # Triangle quality filtering
+        "min_angle_deg": 15,
+    }
+    params.update(overrides)
+    return params
