@@ -104,6 +104,41 @@ def find_knn_within_radius(aligned_df, ref_df, radius=25, knn=5, backend=None):
     return new_aligned, new_ref, new_pairs
 
 
+def preprocess_data(aligned_df, ref_df, radius):
+    """Radius-only candidate pairs + reindex (reference src/utils.py:744-772).
+
+    Like :func:`find_knn_within_radius` but keeps *all* refs within the
+    radius instead of the top-k.
+    """
+    aligned_xy = aligned_df[["X", "Y"]].to_numpy()
+    ref_xy = ref_df[["X", "Y"]].to_numpy()
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(ref_xy)
+    neighbor_lists = tree.query_ball_point(aligned_xy, r=radius)
+    pairs = np.asarray(
+        [(i, j) for i, js in enumerate(neighbor_lists) for j in sorted(js)],
+        dtype=np.int64,
+    ).reshape(-1, 2)
+    if len(pairs) == 0:
+        return (
+            aligned_df.iloc[:0].reset_index(drop=True),
+            ref_df.iloc[:0].reset_index(drop=True),
+            pairs,
+        )
+    uniq_a = np.unique(pairs[:, 0])
+    uniq_r = np.unique(pairs[:, 1])
+    new_aligned = aligned_df.iloc[uniq_a].reset_index(drop=True)
+    new_ref = ref_df.iloc[uniq_r].reset_index(drop=True)
+    map_a = np.full(len(aligned_df), -1, dtype=np.int64)
+    map_a[uniq_a] = np.arange(len(uniq_a))
+    map_r = np.full(len(ref_df), -1, dtype=np.int64)
+    map_r[uniq_r] = np.arange(len(uniq_r))
+    return new_aligned, new_ref, np.column_stack(
+        [map_a[pairs[:, 0]], map_r[pairs[:, 1]]]
+    )
+
+
 def find_knn_with_cell_type_priority(aligned_df, ref_df, radius, knn=5):
     """kNN with same-cell-type priority (reference src/knn_utils.py:5-78).
 

@@ -263,6 +263,29 @@ def calculate_signed_area(p1, p2, p3) -> float:
     return 0.5 * (x1 * (y2 - y3) + x2 * (y3 - y1) + x3 * (y1 - y2))
 
 
+def order_triangle_ccw(points):
+    """Order a 3-row DataFrame's vertices counterclockwise by angle from the
+    centroid (reference src/helpers.py:414-421)."""
+    cx = points["X"].mean()
+    cy = points["Y"].mean()
+    angles = np.arctan2(points["Y"] - cy, points["X"] - cx)
+    return points.iloc[np.argsort(angles)]
+
+
+def order_vertices_for_positive_area(points: dict):
+    """Return the vertex-name ordering giving positive signed area
+    (reference src/helpers.py:80-99). ``points`` maps name -> (x, y)."""
+    from itertools import permutations
+
+    for perm in permutations(points.items()):
+        names = [name for name, _ in perm]
+        (x1, y1), (x2, y2), (x3, y3) = (p for _, p in perm)
+        area = x1 * (y2 - y3) + x2 * (y3 - y1) + x3 * (y1 - y2)
+        if area > 0:
+            return names
+    return []
+
+
 def signed_area_terms(points, x_col: str = "X", y_col: str = "Y") -> int:
     """Orientation of a 3-row DataFrame: 1 CCW, -1 CW, 0 degenerate.
 

@@ -29,18 +29,29 @@ import numpy as np
 class AssignmentProblem(NamedTuple):
     """Padded, device-ready window assignment problem.
 
-    Shapes: n aligned points, C = K*L slot columns, S total ref slots.
+    Shapes: n (bucketed) bidder rows — the first ``n_aligned`` are real —
+    C = K*L slot columns, S (bucketed) ref slots.
     """
 
     costs: np.ndarray      # [n, C] f32: pair cost + slot congestion surcharge
     slots: np.ndarray      # [n, C] i32: global slot id (or S for invalid)
     valid: np.ndarray      # [n, C] bool
-    nm_cost: np.ndarray    # [n]    f32: no-match cost (no_match_penalty * size)
+    nm_cost: np.ndarray    # [n]    f32: no-match cost (0 for padding rows)
     cand_ref: np.ndarray   # [n, C] i32: ref row per column (-1 invalid)
     pair_idx: np.ndarray   # [n, C] i32: original pair-list index (-1 invalid)
-    slot_ref: np.ndarray   # [S]    i32: owning ref row per slot
-    n_slots: int
+    slot_ref: np.ndarray   # [S]    i32: owning ref row per slot (-1 padding)
+    n_slots: int           # padded slot count (dummy slot id)
     n_ref: int
+    n_aligned: int         # real bidder count (rows beyond this are padding)
+
+
+def _bucket(x: int, sizes=(64, 128, 256, 512, 1024, 2048, 4096, 8192)) -> int:
+    """Round up to a shape bucket (power-of-two ladder, then multiples)."""
+    for s in sizes:
+        if x <= s:
+            return s
+    step = 4096
+    return ((x + step - 1) // step) * step
 
 
 def build_assignment_problem(
@@ -52,12 +63,20 @@ def build_assignment_problem(
     penalty_coeff: float,
     no_match_cost: np.ndarray,
     dtype=np.float32,
+    bucket: bool = True,
 ) -> AssignmentProblem:
     """Build the padded slot-expanded problem from a candidate pair list.
 
     ``pairs`` is the [(i, j)] array from candidate generation (ordered by
     aligned index then distance); ``pair_costs`` aligns with it 1:1.
     ``ref_limits[j]`` is the hard match capacity of ref j.
+
+    With ``bucket=True`` (default) the bidder count and slot count are padded
+    to shape buckets so windows of similar size reuse the same compiled
+    auction kernel. Padding bidders have no candidates and a unit no-match
+    cost — they settle on no-match in the first round; padding slots are
+    never referenced. Callers must slice solver outputs with the *real*
+    ``n_aligned`` (the arrays' row count is the padded size, real rows first).
     """
     pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
     pair_costs = np.asarray(pair_costs, dtype=np.float64)
@@ -67,7 +86,7 @@ def build_assignment_problem(
 
     slot_base = np.zeros(n_ref + 1, dtype=np.int64)
     np.cumsum(ref_limits, out=slot_base[1:])
-    n_slots = int(slot_base[-1])
+    n_slots_real = int(slot_base[-1])
     slot_ref = np.repeat(np.arange(n_ref, dtype=np.int32), ref_limits)
 
     # Per-aligned candidate counts -> K (max candidates per point).
@@ -78,11 +97,22 @@ def build_assignment_problem(
     L = int(ref_limits.max()) if n_ref else 1
     C = max(K * L, 1)
 
-    costs = np.zeros((n_aligned, C), dtype=dtype)
-    slots = np.full((n_aligned, C), n_slots, dtype=np.int32)
-    valid = np.zeros((n_aligned, C), dtype=bool)
-    cand_ref = np.full((n_aligned, C), -1, dtype=np.int32)
-    pair_idx = np.full((n_aligned, C), -1, dtype=np.int32)
+    if bucket:
+        n_rows = _bucket(n_aligned)
+        n_slots = _bucket(n_slots_real)
+        C = max(((C + 7) // 8) * 8, 8)
+    else:
+        n_rows = n_aligned
+        n_slots = n_slots_real
+    slot_ref = np.concatenate(
+        [slot_ref, np.full(n_slots - n_slots_real, -1, dtype=np.int32)]
+    )
+
+    costs = np.zeros((n_rows, C), dtype=dtype)
+    slots = np.full((n_rows, C), n_slots, dtype=np.int32)
+    valid = np.zeros((n_rows, C), dtype=bool)
+    cand_ref = np.full((n_rows, C), -1, dtype=np.int32)
+    pair_idx = np.full((n_rows, C), -1, dtype=np.int32)
 
     # Position of each pair within its aligned-point group (pairs are grouped
     # by aligned index in candidate order).
@@ -110,16 +140,19 @@ def build_assignment_problem(
             cand_ref[r, c] = refs[sel]
             pair_idx[r, c] = p_all[sel]
 
+    nm = np.zeros(n_rows, dtype=dtype)
+    nm[:n_aligned] = np.asarray(no_match_cost, dtype=dtype)
     return AssignmentProblem(
         costs=costs,
         slots=slots,
         valid=valid,
-        nm_cost=np.asarray(no_match_cost, dtype=dtype),
+        nm_cost=nm,
         cand_ref=cand_ref,
         pair_idx=pair_idx,
         slot_ref=slot_ref,
         n_slots=n_slots,
         n_ref=n_ref,
+        n_aligned=n_aligned,
     )
 
 

@@ -50,7 +50,6 @@ def triangle_orientation(
 
 
 def matched_triangle_flips(
-    aligned_coords: jax.Array,
     ref_coords: jax.Array,
     tris: jax.Array,
     tri_mask: jax.Array,
@@ -67,7 +66,6 @@ def matched_triangle_flips(
 
     Parameters
     ----------
-    aligned_coords : [n, 2] aligned/moving point coordinates.
     ref_coords : [m, 2] reference point coordinates.
     tris : [T, 3] triangle vertex indices into aligned points.
     tri_mask : [T] bool, False for padding triangles.

@@ -189,15 +189,25 @@ def _auction_run(
     return AuctionResult(choice=assigned, prices=prices, rounds=total)
 
 
+SCHEDULE_LEN = 16
+
+
 def make_eps_schedule(
     cost_scale: float, eps_final: float, scaling: float
 ) -> np.ndarray:
-    """Geometric epsilon schedule from ~cost_scale/2 down to eps_final."""
+    """Geometric epsilon schedule from ~cost_scale/2 down to eps_final.
+
+    Padded to a fixed length (trailing eps_final repeats, which are cheap
+    no-op phases at the fixed point) so the jitted solver compiles once per
+    problem shape regardless of the cost scale.
+    """
     eps_final = max(float(eps_final), 1e-6)
     eps0 = max(cost_scale / 2.0, eps_final)
     n_phases = max(1, int(math.ceil(math.log(eps0 / eps_final) / math.log(scaling))) + 1)
     eps = eps0 / (scaling ** np.arange(n_phases))
     eps = np.maximum(eps, eps_final)
+    if len(eps) < SCHEDULE_LEN:
+        eps = np.concatenate([eps, np.full(SCHEDULE_LEN - len(eps), eps_final)])
     eps[-1] = eps_final
     return eps.astype(np.float32)
 
@@ -209,6 +219,7 @@ def solve_assignment(
     max_rounds: int = 20000,
     prices0: np.ndarray | None = None,
     extra_costs: np.ndarray | None = None,
+    eps_schedule: np.ndarray | None = None,
 ):
     """Solve a window assignment problem; returns (match_ref, match_pair, info).
 
@@ -225,12 +236,26 @@ def solve_assignment(
     valid = jnp.asarray(problem.valid)
     nm = jnp.asarray(problem.nm_cost)
 
-    finite = np.asarray(problem.costs)[np.asarray(problem.valid)]
-    scale_candidates = [float(np.max(problem.nm_cost, initial=0.0))]
-    if finite.size:
-        scale_candidates.append(float(finite.max() - finite.min()))
-    cost_scale = max(scale_candidates + [1.0])
-    eps_schedule = make_eps_schedule(cost_scale, eps_final, eps_scaling)
+    if eps_schedule is None:
+        finite = np.asarray(problem.costs)[np.asarray(problem.valid)]
+        scale_candidates = [float(np.max(problem.nm_cost, initial=0.0))]
+        if finite.size:
+            scale_candidates.append(float(finite.max() - finite.min()))
+        cost_scale = max(scale_candidates + [1.0])
+        eps_schedule = make_eps_schedule(cost_scale, eps_final, eps_scaling)
+    else:
+        eps_schedule = np.asarray(eps_schedule, dtype=np.float32)
+        if len(eps_schedule) < SCHEDULE_LEN:
+            eps_schedule = np.concatenate(
+                [
+                    eps_schedule,
+                    np.full(
+                        SCHEDULE_LEN - len(eps_schedule),
+                        eps_schedule[-1],
+                        dtype=np.float32,
+                    ),
+                ]
+            )
 
     S = problem.n_slots
     if prices0 is None:
@@ -248,13 +273,15 @@ def solve_assignment(
         max_rounds=max_rounds,
     )
 
-    choice = np.asarray(result.choice)
-    n, C = problem.costs.shape
+    n = problem.n_aligned
+    C = problem.costs.shape[1]
+    choice = np.asarray(result.choice)[:n]
     col = np.clip(choice, 0, C - 1)
     rows = np.arange(n)
     is_match = choice < C
     match_ref = np.where(is_match, problem.cand_ref[rows, col], -1).astype(np.int64)
     match_pair = np.where(is_match, problem.pair_idx[rows, col], -1).astype(np.int64)
+    # Rows beyond n_aligned are shape-bucket padding and already sliced off.
     info = {
         "prices": np.asarray(result.prices),
         "rounds": int(result.rounds),

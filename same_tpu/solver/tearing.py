@@ -1,0 +1,421 @@
+"""Space-tearing separation loop: the TPU analog of lazy orientation cuts.
+
+The reference enforces triangle-orientation preservation through a Gurobi
+callback: on each incumbent it scans all Delaunay triangles whose three
+vertices are matched, and when the flipped fraction exceeds
+``lazy_allowed_flip_fraction`` it adds cuts ``x_a + x_b + x_c <= 2 + q_t``
+binding that *specific* matched triple, with ``q_t`` costing
+``delaunay_penalty * tri_weight`` once per triangle (reference
+src/same.py:621-704, 1137-1172, 1191-1197).
+
+Here the branch-and-bound incumbent stream becomes an outer separation loop:
+
+  solve assignment  ->  batched orientation test of all triangles (one
+  vectorized op, ops/orient.py)  ->  register cuts for flipped triples  ->
+  re-solve with the cut penalties folded into pair costs  ->  repeat.
+
+A registered cut places the full ``delaunay_penalty * w_t`` surcharge on
+exactly ONE of the triple's three pairs — the pair whose holder is cheapest
+to move, measured by auction regret (held value minus best-alternative value
+at current prices). This mirrors how the MIP satisfies
+``x_a + x_b + x_c <= 2``: it breaks the triple at the cheapest vertex while
+the other two keep their matches for free. If even the cheapest vertex is
+worth more than the surcharge, the pair stays and pays ``dp * w_t`` — the
+q_t price. Penalizing all three pairs (the naive dp/3 split) is wrong: it
+taxes the innocent vertices of the triangle and cascades them into no-match.
+
+The *reported* objective uses exact MIP semantics — pay once per triangle
+with a fully active cut triple — and every incumbent is re-evaluated under
+the final cut set, so search-side approximations never distort accounting.
+Parity vs the exact HiGHS oracle is pinned in tests/test_tearing.py.
+
+Flip-budget, per-round, and global cut caps mirror the reference knobs
+(``lazy_allowed_flip_fraction``, ``lazy_max_cuts_per_incumbent``,
+``lazy_max_cuts``). ``hard=True`` replaces the penalty with a prohibitive
+cost, emulating ``hard_spatial_constraints``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.assignment import AssignmentProblem, matching_objective
+from ..ops.orient import matched_triangle_flips
+from .auction import solve_assignment
+
+_HARD_PENALTY = 1e7
+
+
+@dataclass
+class TearingResult:
+    match_ref: np.ndarray          # [n] matched ref row or -1
+    match_pair: np.ndarray         # [n] original pair index or -1
+    objective: float               # MIP-semantics objective incl. tearing term
+    assignment_objective: float    # objective without the tearing term
+    flipped: np.ndarray            # [T] bool: flipped under final matching
+    checked: np.ndarray            # [T] bool: orientation-checked triangles
+    flip_fraction: float
+    cuts_added: int
+    tear_rounds: int
+    q_active: np.ndarray           # [T] bool: triangles paying the q_t price
+    info: dict = field(default_factory=dict)
+
+
+def solve_with_tearing(
+    problem: AssignmentProblem,
+    pair_costs: np.ndarray,
+    tris: np.ndarray,
+    tri_weights: np.ndarray,
+    source_signs: np.ndarray,
+    ref_coords: np.ndarray,
+    delaunay_penalty: float,
+    penalty_coeff: float,
+    allowed_flip_fraction: Optional[float] = 0.05,
+    max_cuts: Optional[int] = None,
+    max_cuts_per_round: int = 1000,
+    max_tear_rounds: int = 25,
+    eps_final: float = 1e-2,
+    hard: bool = False,
+    verbose: bool = False,
+) -> TearingResult:
+    """Solve the matching problem with lazy orientation-cut separation."""
+    n_pad, C = problem.costs.shape
+    n = problem.n_aligned
+    tris = np.asarray(tris, dtype=np.int64).reshape(-1, 3)
+    T = len(tris)
+    tri_weights = np.asarray(tri_weights, dtype=np.float64)
+    source_signs_np = np.asarray(source_signs, dtype=np.int32)
+
+    tris_j = jnp.asarray(tris if T else np.zeros((1, 3), np.int64))
+    tri_mask_j = jnp.asarray(
+        np.ones(T, bool) if T else np.zeros(1, bool)
+    )
+    src_j = jnp.asarray(source_signs_np if T else np.zeros(1, np.int32))
+    ref_xy_j = jnp.asarray(np.asarray(ref_coords, np.float32))
+
+    extra = np.zeros((n_pad, C), dtype=problem.costs.dtype)
+    # Registered cuts, stored as growable parallel arrays for vectorized
+    # activity checks (the objective is evaluated many times per repair).
+    cut_keys: set[tuple] = set()
+    cut_tris: list[int] = []
+    cut_verts_list: list[np.ndarray] = []
+    cut_pairs_list: list[np.ndarray] = []
+    cuts_added = 0
+    prices = None
+
+    # Column lookup: for aligned vertex v and pair id p, the (first) column.
+    def cols_for(v: int, p: int) -> np.ndarray:
+        return np.flatnonzero(problem.pair_idx[v] == p)
+
+    def _cut_arrays():
+        if not cut_tris:
+            return None
+        return (
+            np.asarray(cut_tris),
+            np.asarray(cut_verts_list),
+            np.asarray(cut_pairs_list),
+        )
+
+    def true_objective(match_ref, match_pair):
+        matched_costs = np.zeros(n)
+        sel = match_pair >= 0
+        matched_costs[sel] = pair_costs[match_pair[sel]]
+        base = matching_objective(
+            match_ref, matched_costs, problem.n_ref, penalty_coeff,
+            np.asarray(problem.nm_cost[:n], np.float64),
+        )
+        # Tearing term: q_t = 1 for triangles with an active cut triple.
+        q_active = np.zeros(T, dtype=bool)
+        ca = _cut_arrays()
+        if ca is not None:
+            ct, cv, cp = ca
+            active = (match_pair[cv] == cp).all(axis=1)
+            q_active[ct[active]] = True
+        tear = float(delaunay_penalty) * float(tri_weights[q_active].sum()) if T else 0.0
+        return base, base + tear, q_active
+
+    incumbents = []  # (match_ref, match_pair, flipped, checked, flip_frac, info)
+    rounds_used = 0
+    warm_schedule = None
+
+    for tear_round in range(max(1, max_tear_rounds)):
+        rounds_used = tear_round + 1
+        match_ref, match_pair, info = solve_assignment(
+            problem,
+            eps_final=eps_final,
+            extra_costs=extra if cut_tris else None,
+            prices0=prices,
+            eps_schedule=warm_schedule,
+        )
+        prices = info["prices"]
+        # After the first full solve, restart phases from a short schedule —
+        # penalties only perturb a few pairs.
+        warm_schedule = np.asarray(
+            [eps_final * 64, eps_final * 8, eps_final], np.float32
+        )
+
+        if T:
+            checked_j, flipped_j = matched_triangle_flips(
+                ref_xy_j,
+                tris_j,
+                tri_mask_j,
+                jnp.asarray(match_ref.astype(np.int32)),
+                src_j,
+            )
+            checked = np.asarray(checked_j)[:T]
+            flipped = np.asarray(flipped_j)[:T]
+        else:
+            checked = np.zeros(0, bool)
+            flipped = np.zeros(0, bool)
+
+        n_checked = int(checked.sum())
+        n_flipped = int(flipped.sum())
+        flip_frac = n_flipped / n_checked if n_checked else 0.0
+        incumbents.append((match_ref, match_pair, flipped, checked, flip_frac, info))
+
+        if verbose:
+            print(
+                f"  tear round {tear_round}: flips={n_flipped}/{n_checked} "
+                f"cuts={cuts_added}"
+            )
+
+        if delaunay_penalty == 0.0 and not hard:
+            break
+        if n_checked == 0 or n_flipped == 0:
+            break
+        if allowed_flip_fraction is not None and flip_frac <= allowed_flip_fraction:
+            break
+        if max_cuts is not None and cuts_added >= max_cuts:
+            break
+
+        # Auction regret per bidder at current prices: held value minus the
+        # best alternative outside the held pair. Used to pick the vertex the
+        # MIP would move to satisfy each new cut.
+        eff_costs = problem.costs + extra
+        p_slot = prices[problem.slots]
+        vals = np.where(problem.valid, -(eff_costs + p_slot), -np.inf)
+        nm_vals = -np.asarray(problem.nm_cost, np.float64)
+
+        # Register cuts for flipped triangles (reference caps semantics).
+        added = 0
+        for t in np.flatnonzero(flipped):
+            if added >= max_cuts_per_round:
+                break
+            if max_cuts is not None and cuts_added >= max_cuts:
+                break
+            verts = tris[t]
+            pair_ids = match_pair[verts]
+            key = (int(t), int(pair_ids[0]), int(pair_ids[1]), int(pair_ids[2]))
+            if key in cut_keys:
+                continue
+            cut_keys.add(key)
+            cut_tris.append(int(t))
+            cut_verts_list.append(verts.copy())
+            cut_pairs_list.append(pair_ids.copy())
+            # Cheapest-to-move vertex of the triple.
+            regrets = []
+            for v, p in zip(verts, pair_ids):
+                cs = cols_for(int(v), int(p))
+                held = vals[v, cs].max()
+                others = np.delete(vals[v], cs)
+                alt = max(
+                    others.max() if others.size else -np.inf, nm_vals[v]
+                )
+                regrets.append(held - alt)
+            vmove = int(np.argmin(regrets))
+            v, p = int(verts[vmove]), int(pair_ids[vmove])
+            surcharge = (
+                _HARD_PENALTY if hard else float(delaunay_penalty) * tri_weights[t]
+            )
+            extra[v, cols_for(v, p)] += surcharge
+            added += 1
+            cuts_added += 1
+        if added == 0:
+            break
+
+    # The MIP objective of a matching depends on the final cut set (a triple
+    # separated in a later round still binds an earlier incumbent). Evaluate
+    # every incumbent under the final cuts and return the best.
+    best = None
+    for match_ref, match_pair, flipped, checked, flip_frac, info in incumbents:
+        base_obj, mip_obj, q_active = true_objective(match_ref, match_pair)
+        if hard:
+            # Hard spatial constraints: a flipped incumbent is infeasible.
+            # Rank by (n_flips, objective) so a feasible one always wins.
+            key = (int(flipped.sum()), mip_obj)
+        else:
+            key = (0, mip_obj)
+        if best is None or key < best[0]:
+            best = (key, match_ref, match_pair, info)
+
+    # Exact-objective local repair: branch-and-bound finds coordinated escapes
+    # (e.g. unmatching one vertex disables a triangle's orientation check
+    # entirely) that the cut-penalty loop cannot represent. Greedy 1-move
+    # descent over the vertices involved in flips/cuts closes most of that gap.
+    _obj0, match_ref, match_pair, info = best
+    if T and (delaunay_penalty > 0.0 or hard):
+        match_ref, match_pair = _local_repair(
+            problem, pair_costs, tris, tri_weights, source_signs_np,
+            np.asarray(ref_coords, np.float64), match_ref.copy(),
+            match_pair.copy(), cut_verts_list, true_objective, hard,
+        )
+
+    base_obj, mip_obj, q_active = true_objective(match_ref, match_pair)
+    if T:
+        checked_j, flipped_j = matched_triangle_flips(
+            ref_xy_j, tris_j, tri_mask_j,
+            jnp.asarray(match_ref.astype(np.int32)), src_j,
+        )
+        checked = np.asarray(checked_j)[:T]
+        flipped = np.asarray(flipped_j)[:T]
+    else:
+        checked = np.zeros(0, bool)
+        flipped = np.zeros(0, bool)
+    n_checked = int(checked.sum())
+    flip_frac = float(flipped.sum()) / n_checked if n_checked else 0.0
+    return TearingResult(
+        match_ref=match_ref,
+        match_pair=match_pair,
+        objective=mip_obj,
+        assignment_objective=base_obj,
+        flipped=flipped,
+        checked=checked,
+        flip_fraction=flip_frac,
+        cuts_added=cuts_added,
+        tear_rounds=rounds_used,
+        q_active=q_active,
+        info={"rounds": info["rounds"]},
+    )
+
+
+def _local_repair(
+    problem, pair_costs, tris, tri_weights, source_signs, ref_coords,
+    match_ref, match_pair, cut_verts_list, true_objective, hard, max_sweeps: int = 5,
+):
+    """Greedy exact-objective 1-move descent over flip/cut-involved vertices.
+
+    Move set per vertex: each of its candidate pairs (respecting hard ref
+    capacities) and no-match. Accepts any strictly improving move; sweeps
+    until stable. In ``hard`` mode a move creating a flip is rejected.
+    """
+    n = problem.n_aligned
+    C = problem.costs.shape[1]
+    ref_limits_used = np.bincount(
+        match_ref[match_ref >= 0], minlength=problem.n_ref
+    )
+    slot_ref = problem.slot_ref
+    # Hard per-ref limits from the slot expansion.
+    # slot_ref carries -1 entries for shape-bucket padding slots.
+    limits = np.bincount(slot_ref[slot_ref >= 0], minlength=problem.n_ref)
+
+    def flips_of(mr):
+        ok = np.all(mr[tris] >= 0, axis=1)
+        if not ok.any():
+            return np.zeros(len(tris), bool)
+        sub = tris[ok]
+        p = ref_coords[np.clip(mr[sub], 0, len(ref_coords) - 1)]
+        cross = (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1]) - (
+            p[:, 1, 1] - p[:, 0, 1]
+        ) * (p[:, 2, 0] - p[:, 0, 0])
+        rs = np.sign(cross)
+        out = np.zeros(len(tris), bool)
+        out[ok] = (rs != 0) & (source_signs[ok] != 0) & (rs != source_signs[ok])
+        return out
+
+    cur_obj = true_objective(match_ref, match_pair)[1]
+    for _ in range(max_sweeps):
+        flipped = flips_of(match_ref)
+        cand_vertices = set(tris[flipped].ravel().tolist())
+        for verts in cut_verts_list:
+            cand_vertices.update(int(v) for v in verts)
+        if not cand_vertices:
+            break
+        improved = False
+        for v in sorted(cand_vertices):
+            cur_pair = match_pair[v]
+            cur_ref = match_ref[v]
+            options = [(-1, -1)]  # no-match
+            for c in np.flatnonzero(problem.valid[v]):
+                p = int(problem.pair_idx[v, c])
+                j = int(problem.cand_ref[v, c])
+                if p == cur_pair:
+                    continue
+                if j != cur_ref and ref_limits_used[j] >= limits[j]:
+                    continue
+                options.append((p, j))
+            best_delta = -1e-9
+            best_move = None
+            incident = np.any(tris == v, axis=1)
+            for p, j in options:
+                if p == cur_pair:
+                    continue
+                match_pair[v], match_ref[v] = p, j
+                obj = true_objective(match_ref, match_pair)[1]
+                if hard and p >= 0 and flips_of(match_ref)[incident].any():
+                    obj = np.inf
+                delta = obj - cur_obj
+                if delta < best_delta:
+                    best_delta = delta
+                    best_move = (p, j)
+                match_pair[v], match_ref[v] = cur_pair, cur_ref
+            if best_move is not None:
+                p, j = best_move
+                if cur_ref >= 0:
+                    ref_limits_used[cur_ref] -= 1
+                if j >= 0:
+                    ref_limits_used[j] += 1
+                match_pair[v], match_ref[v] = p, j
+                cur_obj = true_objective(match_ref, match_pair)[1]
+                improved = True
+
+        # Compound move: re-match an unmatched vertex and simultaneously
+        # unmatch one neighbor whose absence disables the would-be flipped
+        # triangles — the MIP's favourite escape (an orientation check only
+        # applies to fully matched triangles).
+        for v in sorted(cand_vertices):
+            if match_ref[v] >= 0:
+                continue
+            incident = np.flatnonzero(np.any(tris == v, axis=1))
+            best_delta = -1e-9
+            best_compound = None
+            for c in np.flatnonzero(problem.valid[v]):
+                p = int(problem.pair_idx[v, c])
+                j = int(problem.cand_ref[v, c])
+                if ref_limits_used[j] >= limits[j]:
+                    continue
+                match_pair[v], match_ref[v] = p, j
+                fl = flips_of(match_ref)
+                new_flips = incident[fl[incident]]
+                neighbors = set()
+                for t in new_flips:
+                    for w in tris[t]:
+                        if w != v and match_ref[w] >= 0:
+                            neighbors.add(int(w))
+                for w in neighbors:
+                    wp, wj = match_pair[w], match_ref[w]
+                    match_pair[w], match_ref[w] = -1, -1
+                    obj = true_objective(match_ref, match_pair)[1]
+                    if hard and flips_of(match_ref).any():
+                        obj = np.inf
+                    delta = obj - cur_obj
+                    if delta < best_delta:
+                        best_delta = delta
+                        best_compound = (p, j, w, wp, wj)
+                    match_pair[w], match_ref[w] = wp, wj
+                match_pair[v], match_ref[v] = -1, -1
+            if best_compound is not None:
+                p, j, w, _wp, wj = best_compound
+                match_pair[v], match_ref[v] = p, j
+                match_pair[w], match_ref[w] = -1, -1
+                ref_limits_used[j] += 1
+                if wj >= 0:
+                    ref_limits_used[wj] -= 1
+                cur_obj = true_objective(match_ref, match_pair)[1]
+                improved = True
+        if not improved:
+            break
+    return match_ref, match_pair

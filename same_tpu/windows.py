@@ -1,0 +1,353 @@
+"""Sliding-window orchestration, resume, and cross-window merge.
+
+Reproduces the reference behaviors:
+- ``sliding_window_matching`` (reference src/same.py:297-595): window grid
+  with step = window_size - overlap, small-window merging (right then down),
+  per-window ``run_same``, central-region crop of half the overlap with edge
+  handling, incremental ``matchedDF.csv`` checkpointing, and resume.
+- ``get_unprocessed_windows`` (reference src/helpers.py:21-70).
+- ``merge_window_matches_unique_ref`` (reference src/helpers.py:692-815):
+  dedup preferring non-violating rows then smaller window_id, followed by
+  maximum-cardinality bipartite matching so each aligned and ref ID appears
+  at most once.
+
+Multi-chip execution: windows are embarrassingly parallel. When a
+``jax.sharding.Mesh`` is supplied (or via ``parallel.solve_windows_sharded``)
+window problems are padded to shape buckets and fanned out across devices;
+this module keeps the sequential host path as the reference-compatible
+default.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+from .core import run_same
+from .utils.params import init_optim_params, init_solver_params
+
+
+def subset_data(df, x_min, x_max, y_min, y_max):
+    """Half-open bounding-box subset (reference src/same.py:293-295)."""
+    return df[
+        (df["X"] >= x_min)
+        & (df["X"] < x_max)
+        & (df["Y"] >= y_min)
+        & (df["Y"] < y_max)
+    ]
+
+
+def get_unprocessed_windows(
+    moving_df,
+    output_name,
+    x_windows,
+    y_windows,
+    window_size,
+    overlap,
+    cell_id_col="Cell_Num_Old",
+):
+    """Resume support: which (i, j) windows still need processing.
+
+    Parity with reference src/helpers.py:21-70, including the
+    ``window_id = len(x_windows) * j + i`` decoding.
+    """
+    all_windows = {}
+    for i, x in enumerate(x_windows):
+        for j, y in enumerate(y_windows):
+            cells = moving_df[
+                (moving_df["X"] >= x)
+                & (moving_df["X"] < x + window_size)
+                & (moving_df["Y"] >= y)
+                & (moving_df["Y"] < y + window_size)
+            ][cell_id_col].unique()
+            if len(cells) > 0:
+                all_windows[(i, j)] = set(cells)
+
+    try:
+        existing = pd.read_csv(output_name)
+    except FileNotFoundError:
+        return set(all_windows.keys()), None
+
+    processed = set()
+    if "window_id" in existing.columns:
+        processed = set(existing["window_id"].unique())
+    processed_coords = {
+        (wid % len(x_windows), wid // len(x_windows)) for wid in processed
+    }
+    return set(all_windows.keys()) - processed_coords, existing
+
+
+def sliding_window_matching(
+    ref,
+    moving,
+    commonCT=None,
+    outprefix: Optional[str] = None,
+    moving_delaunay=None,
+    moving_delaunay_vertex_col: Optional[str] = None,
+    optim_params: Optional[Dict[str, Any]] = None,
+    gurobi_params: Optional[Dict[str, Any]] = None,
+    solver_params: Optional[Dict[str, Any]] = None,
+    ignore_precomputed_triangulation: bool = False,
+    verbose: bool = True,
+):
+    """Match cells between datasets window by window; returns merged matches.
+
+    See module docstring; the signature and semantics mirror the reference
+    (src/same.py:297-595) with ``solver_params`` as the TPU-era alias for
+    ``gurobi_params``.
+    """
+    ref_cell_type_col = "cell_type"
+    moving_cell_type_col = "cell_type"
+    optim_params = dict(optim_params or {})
+    if solver_params is None:
+        solver_params = dict(gurobi_params or {})
+
+    # MetaCell duck-typing (reference :418-435).
+    if hasattr(ref, "metacell_df"):
+        mc_ref = ref
+        ref = mc_ref.metacell_df
+        if hasattr(mc_ref, "cell_type_col"):
+            ref_cell_type_col = mc_ref.cell_type_col
+        if (optim_params.get("cell_id_col") is None) and hasattr(
+            mc_ref, "metacell_idx_col"
+        ):
+            optim_params["cell_id_col"] = mc_ref.metacell_idx_col
+    if hasattr(moving, "metacell_df") and hasattr(moving, "metacell_delaunay"):
+        mc = moving
+        moving = mc.metacell_df
+        if moving_delaunay is None and not ignore_precomputed_triangulation:
+            moving_delaunay = mc.metacell_delaunay
+        if moving_delaunay_vertex_col is None and hasattr(mc, "metacell_idx_col"):
+            moving_delaunay_vertex_col = mc.metacell_idx_col
+        if hasattr(mc, "cell_type_col"):
+            moving_cell_type_col = mc.cell_type_col
+        if (optim_params.get("cell_id_col") is None) and hasattr(
+            mc, "metacell_idx_col"
+        ):
+            optim_params["cell_id_col"] = mc.metacell_idx_col
+
+    optim = init_optim_params(**optim_params)
+    solver = init_solver_params(**solver_params)
+
+    window_size = optim["window_size"]
+    overlap = optim["overlap"]
+    min_cells = optim["min_cells_per_window"]
+    cell_id_col = optim["cell_id_col"]
+
+    # Strict cell-type category check + commonCT inference (:445-478).
+    ref_types = mov_types = None
+    if ref_cell_type_col in ref.columns and moving_cell_type_col in moving.columns:
+        ref_types = set(pd.Series(ref[ref_cell_type_col]).dropna().unique().tolist())
+        mov_types = set(
+            pd.Series(moving[moving_cell_type_col]).dropna().unique().tolist()
+        )
+        if ref_types != mov_types:
+            raise ValueError(
+                "Cell type categories differ between ref and moving.\n"
+                f"ref ({ref_cell_type_col}) has {len(ref_types)} types, moving "
+                f"({moving_cell_type_col}) has {len(mov_types)} types.\n"
+                f"Only-in-ref: {sorted(ref_types - mov_types)[:20]}\n"
+                f"Only-in-moving: {sorted(mov_types - ref_types)[:20]}"
+            )
+    if commonCT is None:
+        if ref_types is None:
+            raise ValueError(
+                "commonCT is None, but cell_type columns were not found to infer "
+                "it. Pass commonCT explicitly (list of probability/one-hot "
+                "columns), or ensure both dataframes have "
+                f"'{ref_cell_type_col}'/'{moving_cell_type_col}'."
+            )
+        commonCT = sorted(ref_types)
+        missing_ref = [c for c in commonCT if c not in ref.columns]
+        missing_mov = [c for c in commonCT if c not in moving.columns]
+        if missing_ref or missing_mov:
+            raise ValueError(
+                "commonCT was inferred from cell_type values, but those names "
+                "are not probability columns.\n"
+                f"Missing in ref (first 20): {missing_ref[:20]}\n"
+                f"Missing in moving (first 20): {missing_mov[:20]}"
+            )
+
+    x_min = min(ref["X"].min(), moving["X"].min())
+    x_max = max(ref["X"].max(), moving["X"].max())
+    y_min = min(ref["Y"].min(), moving["Y"].min())
+    y_max = max(ref["Y"].max(), moving["Y"].max())
+    step = window_size - overlap
+    x_windows = list(range(int(x_min), int(x_max), step))
+    y_windows = list(range(int(y_min), int(y_max), step))
+
+    all_matches = []
+    output_file = None
+    windows_to_process = None
+    if outprefix:
+        os.makedirs(outprefix, exist_ok=True)
+        output_file = os.path.join(outprefix, "matchedDF.csv")
+        windows_to_process, existing = get_unprocessed_windows(
+            moving, output_file, x_windows, y_windows, window_size, overlap,
+            cell_id_col=cell_id_col,
+        )
+        if existing is not None:
+            all_matches.append(existing)
+
+    i = 0
+    while i < len(x_windows):
+        j = 0
+        while j < len(y_windows):
+            if windows_to_process is not None and (i, j) not in windows_to_process:
+                j += 1
+                continue
+            x = x_windows[i]
+            y = y_windows[j]
+            x_w_min, x_w_max = x, x + window_size
+            y_w_min, y_w_max = y, y + window_size
+
+            ref_sub = subset_data(ref, x_w_min, x_w_max, y_w_min, y_w_max)
+            mov_sub = subset_data(moving, x_w_min, x_w_max, y_w_min, y_w_max)
+
+            # Merge undersized windows right, then down (:527-542).
+            if len(ref_sub) < min_cells or len(mov_sub) < min_cells:
+                if i + 1 < len(x_windows):
+                    x_w_max = x_windows[i + 1] + window_size
+                    ref_sub = subset_data(ref, x_w_min, x_w_max, y_w_min, y_w_max)
+                    mov_sub = subset_data(moving, x_w_min, x_w_max, y_w_min, y_w_max)
+                    if len(ref_sub) >= min_cells and len(mov_sub) >= min_cells:
+                        i += 1
+                if (len(ref_sub) < min_cells or len(mov_sub) < min_cells) and (
+                    j + 1 < len(y_windows)
+                ):
+                    y_w_max = y_windows[j + 1] + window_size
+                    ref_sub = subset_data(ref, x_w_min, x_w_max, y_w_min, y_w_max)
+                    mov_sub = subset_data(moving, x_w_min, x_w_max, y_w_min, y_w_max)
+                    if len(ref_sub) >= min_cells and len(mov_sub) >= min_cells:
+                        j += 1
+
+            if verbose:
+                print(
+                    f"Window at ({x}, {y}) - Ref cells: {len(ref_sub)}, "
+                    f"Moving cells: {len(mov_sub)}"
+                )
+
+            if len(ref_sub) >= min_cells and len(mov_sub) >= min_cells:
+                window_id = len(x_windows) * j + i
+                window_outprefix = (
+                    os.path.join(outprefix, f"window_{window_id}")
+                    if outprefix
+                    else None
+                )
+                window_matches, _var_out = run_same(
+                    aligned_df=mov_sub,
+                    ref_df=ref_sub,
+                    commonCT=commonCT,
+                    optim_params=optim,
+                    solver_params=solver,
+                    outprefix=window_outprefix,
+                    aligned_delaunay=moving_delaunay,
+                    aligned_delaunay_vertex_col=moving_delaunay_vertex_col,
+                    ignore_precomputed_triangulation=ignore_precomputed_triangulation,
+                    verbose=verbose,
+                )
+                if window_matches.shape[0] > 0:
+                    # Central crop of half the overlap, except at edges
+                    # (:564-582).
+                    is_left = x == int(x_min)
+                    is_right = x_w_max >= int(x_max)
+                    is_top = y == int(y_min)
+                    is_bottom = y_w_max >= int(y_max)
+                    x_lo = x_w_min if is_left else x_w_min + overlap / 2
+                    x_hi = x_w_max if is_right else x_w_max - overlap / 2
+                    y_lo = y_w_min if is_top else y_w_min + overlap / 2
+                    y_hi = y_w_max if is_bottom else y_w_max - overlap / 2
+                    central = window_matches[
+                        (window_matches["X"] >= x_lo)
+                        & (window_matches["X"] < x_hi)
+                        & (window_matches["Y"] >= y_lo)
+                        & (window_matches["Y"] < y_hi)
+                    ].copy()
+                    central["window_id"] = window_id
+                    if len(central) > 0:
+                        all_matches.append(central)
+                        if outprefix:
+                            pd.concat(all_matches, ignore_index=True).to_csv(
+                                output_file, index=False
+                            )
+            j += 1
+        i += 1
+
+    return (
+        pd.concat(all_matches, ignore_index=True) if all_matches else pd.DataFrame()
+    )
+
+
+def merge_window_matches_unique_ref(matches_list, cell_id_col="Cell_Num_Old"):
+    """Merge per-window matches into a one-to-one maximum-cardinality set.
+
+    Parity with reference src/helpers.py:692-815: dedup identical
+    (aligned, ref) pairs preferring ``filtered_violation == False`` then
+    smaller ``window_id`` (stable sort), then maximum-cardinality bipartite
+    matching between aligned and ref IDs. Uses the first-party C++
+    Hopcroft-Karp when built (native/), else scipy's implementation.
+    """
+    if not matches_list:
+        return pd.DataFrame()
+    if isinstance(matches_list, pd.DataFrame):
+        matches_list = [matches_list]
+
+    merged = pd.concat(matches_list, ignore_index=True)
+    aligned_col = f"Aligned_{cell_id_col}"
+    ref_col = f"Ref_{cell_id_col}"
+    required = ["window_id", aligned_col, ref_col, "X", "Y", "filtered_violation"]
+    missing = [c for c in required if c not in merged.columns]
+    if missing:
+        raise ValueError(f"Missing required columns in matches: {missing}")
+
+    merged["filtered_violation"] = (
+        merged["filtered_violation"].fillna(True).astype(bool)
+    )
+    merged = merged.sort_values(
+        by=["filtered_violation", "window_id"], ascending=[True, True],
+        kind="mergesort",
+    )
+    merged = merged.drop_duplicates(subset=[aligned_col, ref_col], keep="first")
+
+    aligned_vals = merged[aligned_col].to_numpy()
+    ref_vals = merged[ref_col].to_numpy()
+    unique_aligned = sorted(pd.unique(aligned_vals))
+    unique_ref = sorted(pd.unique(ref_vals))
+    a_idx = {a: i for i, a in enumerate(unique_aligned)}
+    b_idx = {b: i for i, b in enumerate(unique_ref)}
+    ai = np.array([a_idx[a] for a in aligned_vals])
+    bi = np.array([b_idx[b] for b in ref_vals])
+
+    pairing = _max_bipartite_matching(ai, bi, len(unique_aligned), len(unique_ref))
+
+    # Row per matched (aligned, ref) edge; dedup kept one row per edge.
+    edge_row = {}
+    for row, (x, yv) in enumerate(zip(ai, bi)):
+        edge_row.setdefault((x, yv), row)
+    selected = [
+        edge_row[(x, pairing[x])] for x in range(len(unique_aligned))
+        if pairing[x] >= 0 and (x, pairing[x]) in edge_row
+    ]
+    return merged.iloc[selected].copy().reset_index(drop=True)
+
+
+def _max_bipartite_matching(ai, bi, n_a, n_b):
+    """Maximum-cardinality matching; returns per-aligned ref index or -1."""
+    try:
+        from .utils.native import native_hopcroft_karp
+
+        res = native_hopcroft_karp(ai, bi, n_a, n_b)
+        if res is not None:
+            return res
+    except Exception:
+        pass
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import maximum_bipartite_matching
+
+    graph = csr_matrix(
+        (np.ones(len(ai), dtype=np.int8), (ai, bi)), shape=(n_a, n_b)
+    )
+    return maximum_bipartite_matching(graph, perm_type="column")

@@ -150,7 +150,6 @@ def test_matched_triangle_flips():
     match = np.array([0, 1, 2, 3])
     src = triangle_orientation(jnp.asarray(pts), jnp.asarray(tris))
     checked, flipped = matched_triangle_flips(
-        jnp.asarray(pts),
         jnp.asarray(ref),
         jnp.asarray(tris),
         jnp.ones(2, bool),
@@ -163,7 +162,7 @@ def test_matched_triangle_flips():
     # Unmatched vertex -> not checked.
     match2 = np.array([-1, 1, 2, 3])
     checked2, flipped2 = matched_triangle_flips(
-        jnp.asarray(pts), jnp.asarray(ref), jnp.asarray(tris),
+        jnp.asarray(ref), jnp.asarray(tris),
         jnp.ones(2, bool), jnp.asarray(match2), src,
     )
     assert np.asarray(checked2).tolist() == [False, True]

@@ -1,0 +1,156 @@
+"""Space-tearing separation loop vs exact MILP cut loop.
+
+Instances are built so orientation flips are energetically tempting (swapped
+points with strongly matching cell-type costs) and the delaunay_penalty has
+to arbitrate — the regime the reference's lazy callback exists for.
+"""
+
+import numpy as np
+import pytest
+
+from same_tpu.candidates import radius_knn
+from same_tpu.geometry import delaunay_simplices, orientation_signs_np
+from same_tpu.models.assignment import build_assignment_problem
+from same_tpu.solver.milp_oracle import solve_mip_oracle
+from same_tpu.solver.tearing import solve_with_tearing
+
+
+def _swap_instance(rng, n_side=5, n_swaps=2, knn=4, radius=2.5, ct_weight=20.0):
+    """Jittered grid matched to itself, with swapped pairs in the query.
+
+    Swapping two adjacent query points' *feature* identities makes the
+    feature-optimal matching cross over — flipping the triangles around the
+    swapped pair. dp then trades feature cost against tearing cost.
+    """
+    g = np.stack(
+        np.meshgrid(np.arange(n_side), np.arange(n_side)), -1
+    ).reshape(-1, 2).astype(float)
+    ref_xy = g + rng.normal(0, 0.05, g.shape)
+    qry_xy = g + rng.normal(0, 0.05, g.shape)
+    n = len(g)
+    # Unique feature per cell; cost = ct_weight * (1 - similarity to ref cell)
+    ident = np.arange(n)
+    # Swap features of adjacent horizontal pairs (guaranteed flips when the
+    # matching follows features).
+    swapped = ident.copy()
+    for s in range(n_swaps):
+        a = s * n_side + 1
+        b = a + 1
+        swapped[a], swapped[b] = swapped[b], swapped[a]
+
+    idx, dist, mask = radius_knn(qry_xy, ref_xy, radius=radius, k=knn)
+    pairs, costs = [], []
+    for i in range(n):
+        for j, d in zip(idx[i][mask[i]], dist[i][mask[i]]):
+            feat_cost = 0.0 if swapped[i] == ident[j] else ct_weight
+            pairs.append((i, int(j)))
+            costs.append(feat_cost + 0.1 * float(d))
+    pairs = np.asarray(pairs)
+    costs = np.asarray(costs)
+
+    tris = delaunay_simplices(qry_xy)
+    src = orientation_signs_np(qry_xy, tris)
+    weights = np.full(len(tris), 3.0)  # unit sizes -> weight 3 per triangle
+    nm_cost = np.full(n, 100.0)
+    limits = np.ones(n, dtype=int)
+    return pairs, costs, n, limits, nm_cost, tris, weights, src, ref_xy
+
+
+def _run_both(rng, dp, allowed=0.0, **kw):
+    (pairs, costs, n, limits, nm_cost, tris, weights, src, ref_xy) = _swap_instance(
+        rng, **kw
+    )
+    problem = build_assignment_problem(
+        pairs, costs, n, n, limits, 100.0, nm_cost
+    )
+    res = solve_with_tearing(
+        problem,
+        costs,
+        tris,
+        weights,
+        src,
+        ref_xy,
+        delaunay_penalty=dp,
+        penalty_coeff=100.0,
+        allowed_flip_fraction=allowed,
+        eps_final=1e-3,
+    )
+    oracle = solve_mip_oracle(
+        pairs,
+        costs,
+        n,
+        n,
+        limits,
+        100.0,
+        nm_cost,
+        triangles=tris,
+        tri_weights=weights,
+        source_signs=src,
+        ref_coords=ref_xy,
+        delaunay_penalty=dp,
+        lazy_allowed_flip_fraction=allowed,
+    )
+    return res, oracle
+
+
+def test_dp_zero_keeps_flips(rng):
+    # With dp=0 the tearing loop is inert: feature-optimal matching, flips kept.
+    res, oracle = _run_both(rng, dp=0.0)
+    assert res.flipped.sum() > 0
+    assert res.objective == pytest.approx(oracle.objective, rel=5e-3, abs=0.1)
+
+
+def test_small_dp_pays_penalty(rng):
+    # Small dp: paying q_t is cheaper than giving up a 20-cost feature match.
+    res, oracle = _run_both(rng, dp=1.0)
+    assert res.objective == pytest.approx(oracle.objective, rel=2e-2, abs=0.3)
+    assert res.flipped.sum() > 0  # still flips, just pays
+
+
+def test_large_dp_suppresses_flips(rng):
+    # Large dp: solver must stop tearing (unswap / unmatch) instead of paying.
+    # Branch-and-bound can find coordinated multi-vertex escapes our
+    # separation loop + greedy repair cannot, so only loose objective parity
+    # is asserted here (exact parity holds for dp <= ~5, see tests above).
+    # TODO(solver): exact mini-MILP repair on connected flip components would
+    # close this gap — the hard region is small and local by construction.
+    res, oracle = _run_both(rng, dp=50.0)
+    assert res.objective <= oracle.objective * 1.35 + 0.5
+    # Flips must be suppressed to (near) the oracle's level.
+    assert res.flipped.sum() <= oracle_flips(oracle) + 1
+
+
+def oracle_flips(oracle):
+    return int(round(float(np.asarray(oracle.q).sum()))) if len(oracle.q) else 0
+
+
+def test_allowed_fraction_budget(rng):
+    # Generous flip budget: loop stops without cuts, flips stay free.
+    res, _ = _run_both(rng, dp=50.0, allowed=1.0)
+    assert res.cuts_added == 0
+    assert res.flipped.sum() > 0
+
+
+def test_hard_constraints(rng):
+    (pairs, costs, n, limits, nm_cost, tris, weights, src, ref_xy) = _swap_instance(
+        rng
+    )
+    problem = build_assignment_problem(pairs, costs, n, n, limits, 100.0, nm_cost)
+    res = solve_with_tearing(
+        problem, costs, tris, weights, src, ref_xy,
+        delaunay_penalty=5.0, penalty_coeff=100.0,
+        allowed_flip_fraction=0.0, hard=True, eps_final=1e-3,
+        max_tear_rounds=40,
+    )
+    assert res.flipped.sum() == 0
+
+
+def test_no_triangles_degenerates_to_assignment(rng):
+    (pairs, costs, n, limits, nm_cost, _t, _w, _s, ref_xy) = _swap_instance(rng)
+    problem = build_assignment_problem(pairs, costs, n, n, limits, 100.0, nm_cost)
+    res = solve_with_tearing(
+        problem, costs, np.empty((0, 3)), np.empty(0), np.empty(0), ref_xy,
+        delaunay_penalty=10.0, penalty_coeff=100.0,
+    )
+    assert res.objective == res.assignment_objective
+    assert res.tear_rounds == 1
