@@ -327,6 +327,18 @@ def run_same(
     allowed_frac = (
         solver["lazy_allowed_flip_fraction"] if lazy_constraints else 0.0
     )
+    # Auction epsilon scaled to the requested optimality gap: n * eps bounds
+    # the suboptimality, so eps = mip_gap * objective_lower_bound / n matches
+    # Gurobi's relative-gap termination (reference mip_gap semantics) while
+    # avoiding epsilon-wars far below the tolerance. The lower bound ignores
+    # conflicts: sum over points of min(best pair cost, no-match cost).
+    best_pair_cost = np.full(n_aligned, np.inf)
+    np.minimum.at(best_pair_cost, valid_pairs[:, 0], costs)
+    obj_lb = float(np.minimum(best_pair_cost, no_match_cost).sum())
+    eps_solver = max(
+        float(solver["tpu_eps_final"]),
+        float(solver["mip_gap"]) * obj_lb / max(n_aligned, 1) / 4.0,
+    )
     result = solve_with_tearing(
         problem,
         costs,
@@ -340,7 +352,7 @@ def run_same(
         max_cuts=solver["lazy_max_cuts"],
         max_cuts_per_round=solver["lazy_max_cuts_per_incumbent"],
         max_tear_rounds=solver["tpu_max_tear_rounds"],
-        eps_final=solver["tpu_eps_final"],
+        eps_final=eps_solver,
         hard=hard_spatial,
         verbose=verbose,
     )

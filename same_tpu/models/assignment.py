@@ -43,6 +43,7 @@ class AssignmentProblem(NamedTuple):
     n_slots: int           # padded slot count (dummy slot id)
     n_ref: int
     n_aligned: int         # real bidder count (rows beyond this are padding)
+    n_slot_copies: int     # L: column-block width per candidate ref
 
 
 def _bucket(x: int, sizes=(64, 128, 256, 512, 1024, 2048, 4096, 8192)) -> int:
@@ -153,6 +154,7 @@ def build_assignment_problem(
         n_slots=n_slots,
         n_ref=n_ref,
         n_aligned=n_aligned,
+        n_slot_copies=L,
     )
 
 

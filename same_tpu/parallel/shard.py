@@ -57,7 +57,7 @@ def solve_window_batch(
     mesh: Optional[Mesh] = None,
     eps_final: float = 1e-2,
     eps_scaling: float = 4.0,
-    max_rounds: int = 20000,
+    max_rounds: int = 500000,
     extra_costs: Optional[np.ndarray] = None,
 ):
     """Solve a batch of window assignment problems, sharded over ``mesh``.

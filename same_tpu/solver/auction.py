@@ -51,6 +51,7 @@ class AuctionResult(NamedTuple):
     choice: jax.Array   # [n] i32: winning column in [0, C) or C for no-match
     prices: jax.Array   # [S+1] f32: final slot prices (last entry is dummy)
     rounds: jax.Array   # [] i32: total bidding rounds executed
+    owner: jax.Array    # [S+1] i32: per-slot holder (carryable warm state)
 
 
 def _values(costs, slots, valid, nm_cost, prices):
@@ -60,44 +61,70 @@ def _values(costs, slots, valid, nm_cost, prices):
     return jnp.concatenate([vals, -nm_cost[:, None]], axis=1)
 
 
-def _phase(costs, slots, valid, nm_cost, prices, assigned, owner, eps, max_rounds):
-    """One phase: boundary sweep, then bid to a fixed point at this epsilon."""
+@functools.partial(jax.jit, static_argnames=("max_rounds", "max_polish"))
+def _auction_run(
+    costs, slots, valid, nm_cost, prices0, eps_schedule, max_rounds,
+    max_polish=16, assigned0=None, owner0=None,
+):
+    """Fused auction: all epsilon phases + polish in ONE while_loop.
+
+    Phase boundaries (eps-CS release of slot-holders + zeroing of unowned
+    prices) are applied as masked steps inside the single bidding-round body,
+    so the whole solve is one compiled loop body — ~3x less code to compile
+    than a scan-of-phases + polish-loop structure, and identical semantics:
+
+    - a phase ends when a round produces no assignment change and no bids;
+    - the final epsilon phase repeats (up to ``max_polish`` times) until a
+      full phase passes with no assignment change.
+    """
     n, C = costs.shape
-    S = prices.shape[0] - 1
+    S = prices0.shape[0] - 1
+    P = eps_schedule.shape[0]
     bidder_ids = jnp.arange(n, dtype=jnp.int32)
     NULL = jnp.int32(C)
+    max_total = jnp.int32(max_rounds)
 
-    # --- Boundary sweep -----------------------------------------------------
-    # (a) Release slot-holders violating eps-CS at current prices.
-    vals_all = _values(costs, slots, valid, nm_cost, prices)
-    best = vals_all.max(axis=1)
-    held_col = jnp.clip(assigned, 0, C)
-    held_val = vals_all[bidder_ids, held_col]
-    holds_slot = (assigned >= 0) & (assigned < NULL)
-    release = holds_slot & (held_val < best - eps)
-    released_slots = jnp.where(
-        release, slots[bidder_ids, jnp.clip(held_col, 0, C - 1)], S
-    )
-    assigned = jnp.where(release, -1, assigned)
-    owner = owner.at[released_slots].set(-1, mode="drop")
-    owner = owner.at[S].set(-1)
-    # (b) Reverse pressure: unowned slots — including the ones just released,
-    # whose prices reflect coarser-epsilon overbidding — cannot justify a
-    # positive price. Without this, released bidders see their own former
-    # slot as overpriced and strand on no-match.
-    prices = jnp.where(owner < 0, 0.0, prices)
-
-    # --- Bidding loop -------------------------------------------------------
     def cond(state):
-        assigned, owner, prices, moved, it = state
-        return (it < max_rounds) & moved
+        (assigned, owner, prices, phase, boundary, changed_in_phase, polish,
+         it) = state
+        return (phase < P) & (it < max_total)
 
     def body(state):
-        assigned, owner, prices, _moved, it = state
-        # Unassigned bidders act; no-match bidders re-evaluate every round.
-        active = (assigned < 0) | (assigned == NULL)
+        (assigned, owner, prices, phase, boundary, changed_in_phase, polish,
+         it) = state
+        eps = eps_schedule[jnp.minimum(phase, P - 1)]
 
-        vals_all = _values(costs, slots, valid, nm_cost, prices)
+        # --- Boundary step (first round of each phase only; lax.cond so the
+        # extra [n, C] evaluation is skipped on ordinary bidding rounds) ----
+        def boundary_step(args):
+            assigned, owner, prices = args
+            vals_all = _values(costs, slots, valid, nm_cost, prices)
+            best = vals_all.max(axis=1)
+            held_col = jnp.clip(assigned, 0, C)
+            held_val = vals_all[bidder_ids, held_col]
+            holds_slot = (assigned >= 0) & (assigned < NULL)
+            release = holds_slot & (held_val < best - eps)
+            released_slots = jnp.where(
+                release, slots[bidder_ids, jnp.clip(held_col, 0, C - 1)], S
+            )
+            assigned = jnp.where(release, -1, assigned)
+            owner = owner.at[released_slots].set(-1, mode="drop")
+            owner = owner.at[S].set(-1)
+            # Reverse pressure: unowned slots (including just-released ones
+            # whose prices reflect coarser-epsilon overbidding) go to price
+            # zero; without this, released bidders strand on no-match.
+            prices = jnp.where(owner < 0, 0.0, prices)
+            return assigned, owner, prices
+
+        assigned, owner, prices = jax.lax.cond(
+            boundary, boundary_step, lambda args: args, (assigned, owner, prices)
+        )
+
+        # --- One bidding round --------------------------------------------
+        active = (assigned < 0) | (assigned == NULL)
+        p_slot = prices[slots]
+        vals = jnp.where(valid, -(costs + p_slot), -jnp.inf)
+        vals_all = jnp.concatenate([vals, -nm_cost[:, None]], axis=1)
         top2, top2i = jax.lax.top_k(vals_all, 2)
         v1, v2 = top2[:, 0], top2[:, 1]
         choice = top2i[:, 0].astype(jnp.int32)
@@ -131,62 +158,43 @@ def _phase(costs, slots, valid, nm_cost, prices, assigned, owner, eps, max_round
         newp = newp.at[S].set(0.0)
 
         moved = jnp.any(new_assigned != assigned) | jnp.any(bids_slot)
-        return new_assigned, new_owner, newp, moved, it + 1
+        changed_in_phase = changed_in_phase | moved
 
-    assigned, owner, prices, _m, it = jax.lax.while_loop(
-        cond,
-        body,
-        (assigned, owner, prices, jnp.bool_(True), jnp.int32(0)),
-    )
-    return assigned, owner, prices, it
+        # --- Phase-transition logic on fixed point -------------------------
+        fixed = ~moved
+        is_last = phase >= P - 1
+        # Advance through the schedule; on the last phase, repeat while the
+        # phase still changed something (polish), else finish.
+        repeat_last = fixed & is_last & changed_in_phase & (polish < max_polish)
+        finish = fixed & is_last & (~changed_in_phase | (polish >= max_polish))
+        advance = fixed & ~is_last
 
+        new_phase = jnp.where(finish, P, jnp.where(advance, phase + 1, phase))
+        new_polish = jnp.where(repeat_last, polish + 1, polish)
+        new_boundary = fixed  # next round starts a (possibly repeated) phase
+        new_changed = jnp.where(fixed, False, changed_in_phase)
 
-@functools.partial(jax.jit, static_argnames=("max_rounds", "max_polish"))
-def _auction_run(
-    costs, slots, valid, nm_cost, prices0, eps_schedule, max_rounds, max_polish=16
-):
-    n, C = costs.shape
-    S = prices0.shape[0] - 1
-    eps_final = eps_schedule[-1]
-
-    def phase_step(carry, eps):
-        prices, assigned, owner, total = carry
-        assigned, owner, prices, it = _phase(
-            costs, slots, valid, nm_cost, prices, assigned, owner, eps, max_rounds
+        return (
+            new_assigned, new_owner, newp, new_phase, new_boundary,
+            new_changed, new_polish, it + 1,
         )
-        return (prices, assigned, owner, total + it), None
 
-    assigned0 = jnp.full(n, -1, dtype=jnp.int32)
-    owner0 = jnp.full(S + 1, -1, dtype=jnp.int32)
-    (prices, assigned, owner, total), _ = jax.lax.scan(
-        phase_step, (prices0, assigned0, owner0, jnp.int32(0)), eps_schedule
+    if assigned0 is None:
+        assigned0 = jnp.full(n, -1, dtype=jnp.int32)
+    if owner0 is None:
+        owner0 = jnp.full(S + 1, -1, dtype=jnp.int32)
+    state = (
+        assigned0, owner0, prices0, jnp.int32(0), jnp.bool_(True),
+        jnp.bool_(False), jnp.int32(0), jnp.int32(0),
     )
-
-    # Polish: repeat the final phase until sweep+release+bids reach a joint
-    # fixed point (no assignment changes).
-    def polish_cond(state):
-        prices, assigned, owner, total, changed, k = state
-        return (k < max_polish) & changed
-
-    def polish_body(state):
-        prices, assigned, owner, total, _changed, k = state
-        new_assigned, new_owner, new_prices, it = _phase(
-            costs, slots, valid, nm_cost, prices, assigned, owner, eps_final,
-            max_rounds,
-        )
-        changed = jnp.any(new_assigned != assigned)
-        return new_prices, new_assigned, new_owner, total + it, changed, k + 1
-
-    prices, assigned, owner, total, _c, _k = jax.lax.while_loop(
-        polish_cond,
-        polish_body,
-        (prices, assigned, owner, total, jnp.bool_(True), jnp.int32(0)),
+    (assigned, owner, prices, _ph, _b, _c, _po, it) = jax.lax.while_loop(
+        cond, body, state
     )
 
     # Any bidder still unassigned after the round cap falls back to no-match
     # (feasible by construction; only reachable on pathological inputs).
     assigned = jnp.where(assigned < 0, jnp.int32(C), assigned)
-    return AuctionResult(choice=assigned, prices=prices, rounds=total)
+    return AuctionResult(choice=assigned, prices=prices, rounds=it, owner=owner)
 
 
 SCHEDULE_LEN = 16
@@ -212,14 +220,26 @@ def make_eps_schedule(
     return eps.astype(np.float32)
 
 
+def default_eps_schedule(
+    problem: AssignmentProblem, eps_final: float, eps_scaling: float = 4.0
+) -> np.ndarray:
+    """Epsilon schedule sized to the problem's cost scale."""
+    finite = np.asarray(problem.costs)[np.asarray(problem.valid)]
+    scale_candidates = [float(np.max(problem.nm_cost, initial=0.0))]
+    if finite.size:
+        scale_candidates.append(float(finite.max() - finite.min()))
+    return make_eps_schedule(max(scale_candidates + [1.0]), eps_final, eps_scaling)
+
+
 def solve_assignment(
     problem: AssignmentProblem,
     eps_final: float = 1e-2,
     eps_scaling: float = 4.0,
-    max_rounds: int = 20000,
+    max_rounds: int = 500000,
     prices0: np.ndarray | None = None,
     extra_costs: np.ndarray | None = None,
     eps_schedule: np.ndarray | None = None,
+    return_raw: bool = False,
 ):
     """Solve a window assignment problem; returns (match_ref, match_pair, info).
 
@@ -272,6 +292,9 @@ def solve_assignment(
         jnp.asarray(eps_schedule),
         max_rounds=max_rounds,
     )
+    if return_raw:
+        # Device-resident result; caller handles (minimal) host transfers.
+        return result
 
     n = problem.n_aligned
     C = problem.costs.shape[1]
@@ -284,6 +307,7 @@ def solve_assignment(
     # Rows beyond n_aligned are shape-bucket padding and already sliced off.
     info = {
         "prices": np.asarray(result.prices),
+        "prices_dev": result.prices,  # device-resident copy for warm restarts
         "rounds": int(result.rounds),
         "eps_schedule": eps_schedule,
     }

@@ -40,14 +40,74 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..models.assignment import AssignmentProblem, matching_objective
 from ..ops.orient import matched_triangle_flips
-from .auction import solve_assignment
+from .auction import default_eps_schedule, solve_assignment
 
 _HARD_PENALTY = 1e7
+
+
+@jax.jit
+def _tear_metrics(
+    costs, extra, slots, valid, nm, pair_idx, cand_ref, tris, tri_mask, src,
+    ref_xy, prices, choice,
+):
+    """Per-round device computation: flip test + cheapest-to-move vertex.
+
+    Runs entirely on device and returns only small arrays ([T] bools + [T]
+    int8), which matters on deployments where device->host bandwidth is the
+    bottleneck (see solve_with_tearing).
+    """
+    n, C = costs.shape
+    rows = jnp.arange(n)
+    col = jnp.clip(choice, 0, C - 1)
+    is_match = choice < C
+    match_pair = jnp.where(is_match, pair_idx[rows, col], -1)
+    match_ref = jnp.where(is_match, cand_ref[rows, col], -1).astype(jnp.int32)
+
+    checked, flipped = matched_triangle_flips(ref_xy, tris, tri_mask, match_ref, src)
+
+    # Auction regret: held value minus best alternative outside the held pair.
+    eff = costs + extra
+    p_slot = prices[slots]
+    vals = jnp.where(valid, -(eff + p_slot), -jnp.inf)
+    held = jnp.where(is_match, vals[rows, col], -nm)
+    alt_mask = valid & (pair_idx != match_pair[:, None])
+    alt_best = jnp.maximum(
+        jnp.max(jnp.where(alt_mask, vals, -jnp.inf), axis=1), -nm
+    )
+    regret = held - alt_best
+    tri_regret = regret[jnp.clip(tris, 0, n - 1)]
+    vmove = jnp.argmin(tri_regret, axis=1).astype(jnp.int8)
+    return checked, flipped, vmove
+
+
+@jax.jit
+def _pack_round(choice, checked, flipped, vmove, rounds):
+    """Bundle one tear-round's outputs into a single uint8 buffer.
+
+    Device->host transfers through tunneled TPU deployments carry a large
+    fixed per-transfer cost; one packed buffer per round instead of five
+    separate pulls cuts the separation loop's wall-clock ~5x.
+    Layout: [choice u8 (n)] [checked u8 (T)] [flipped u8 (T)] [vmove u8 (T)]
+    [rounds i32 as 4 bytes].
+    """
+    rounds_u8 = jax.lax.bitcast_convert_type(
+        rounds.astype(jnp.int32)[None], jnp.uint8
+    ).reshape(-1)
+    return jnp.concatenate(
+        [
+            choice.astype(jnp.uint8),
+            checked.astype(jnp.uint8),
+            flipped.astype(jnp.uint8),
+            vmove.astype(jnp.uint8),
+            rounds_u8,
+        ]
+    )
 
 
 @dataclass
@@ -80,6 +140,7 @@ def solve_with_tearing(
     max_tear_rounds: int = 25,
     eps_final: float = 1e-2,
     hard: bool = False,
+    device_loop: bool = True,
     verbose: bool = False,
 ) -> TearingResult:
     """Solve the matching problem with lazy orientation-cut separation."""
@@ -97,7 +158,17 @@ def solve_with_tearing(
     src_j = jnp.asarray(source_signs_np if T else np.zeros(1, np.int32))
     ref_xy_j = jnp.asarray(np.asarray(ref_coords, np.float32))
 
-    extra = np.zeros((n_pad, C), dtype=problem.costs.dtype)
+    # Device-resident copies: the solver consumes the same window tensors
+    # every round, and re-uploading them (or the [n, C] surcharge matrix)
+    # per round dominates wall-clock on tunneled-TPU setups. Surcharge
+    # updates go up as tiny index/value deltas via scatter-add.
+    problem_dev = problem._replace(
+        costs=jnp.asarray(problem.costs),
+        slots=jnp.asarray(problem.slots),
+        valid=jnp.asarray(problem.valid),
+        nm_cost=jnp.asarray(problem.nm_cost),
+    )
+    extra_dev = jnp.zeros((n_pad, C), dtype=problem.costs.dtype)
     # Registered cuts, stored as growable parallel arrays for vectorized
     # activity checks (the objective is evaluated many times per repair).
     cut_keys: set[tuple] = set()
@@ -138,110 +209,192 @@ def solve_with_tearing(
         tear = float(delaunay_penalty) * float(tri_weights[q_active].sum()) if T else 0.0
         return base, base + tear, q_active
 
-    incumbents = []  # (match_ref, match_pair, flipped, checked, flip_frac, info)
+    incumbents = []  # (match_ref, match_pair, flipped, checked, flip_frac, rounds)
     rounds_used = 0
-    warm_schedule = None
 
-    for tear_round in range(max(1, max_tear_rounds)):
-        rounds_used = tear_round + 1
-        match_ref, match_pair, info = solve_assignment(
-            problem,
+    # The fused device loop wins whenever round-trips are expensive (any
+    # accelerator backend) or the problem is large; the host loop's
+    # cold-restart incumbent stream searches better on small adversarial
+    # instances where re-solves are cheap (CPU test path).
+    if device_loop and T > 0 and (n >= 512 or jax.default_backend() != "cpu"):
+        # Fused on-device separation loop: one transfer for all rounds
+        # (tearing_device.py). Cut registry reconstructed for the exact
+        # host-side incumbent evaluation and local repair below.
+        from .tearing_device import run_tearing_device
+
+        data = run_tearing_device(
+            problem, tris, tri_weights, source_signs_np,
+            np.asarray(ref_coords, np.float32),
+            delaunay_penalty=float(delaunay_penalty),
+            allowed_flip_fraction=(
+                allowed_flip_fraction if allowed_flip_fraction is not None else None
+            ),
+            max_cuts=max_cuts,
+            max_cuts_per_round=max_cuts_per_round,
+            max_tear_rounds=max_tear_rounds,
             eps_final=eps_final,
-            extra_costs=extra if cut_tris else None,
-            prices0=prices,
-            eps_schedule=warm_schedule,
+            hard=hard,
         )
-        prices = info["prices"]
-        # After the first full solve, restart phases from a short schedule —
-        # penalties only perturb a few pairs.
-        warm_schedule = np.asarray(
-            [eps_final * 64, eps_final * 8, eps_final], np.float32
-        )
-
-        if T:
-            checked_j, flipped_j = matched_triangle_flips(
-                ref_xy_j,
-                tris_j,
-                tri_mask_j,
-                jnp.asarray(match_ref.astype(np.int32)),
-                src_j,
+        rounds_used = data["rounds_used"]
+        cuts_added = data["cuts_added"]
+        cut_tris.extend(data["cut_tris"])
+        cut_verts_list.extend(data["cut_verts"])
+        cut_pairs_list.extend(data["cut_pairs"])
+        rows_np = np.arange(n)
+        for rr in range(rounds_used):
+            choice = data["choices"][rr].astype(np.int64)[:n]
+            col = np.clip(choice, 0, C - 1)
+            is_match = choice < C
+            match_ref = np.where(
+                is_match, problem.cand_ref[rows_np, col], -1
+            ).astype(np.int64)
+            match_pair = np.where(
+                is_match, problem.pair_idx[rows_np, col], -1
+            ).astype(np.int64)
+            flipped = data["flipped"][rr][:T]
+            checked = data["checked"][rr][:T]
+            n_checked = int(checked.sum())
+            flip_frac = float(flipped.sum()) / n_checked if n_checked else 0.0
+            incumbents.append(
+                (match_ref, match_pair, flipped, checked, flip_frac,
+                 int(data["auction_rounds"][rr]))
             )
-            checked = np.asarray(checked_j)[:T]
-            flipped = np.asarray(flipped_j)[:T]
-        else:
-            checked = np.zeros(0, bool)
-            flipped = np.zeros(0, bool)
+            if verbose:
+                print(
+                    f"  tear round {rr}: flips={int(flipped.sum())}/{n_checked}"
+                )
+    else:
+        incumbents = []  # (match_ref, match_pair, flipped, checked, flip_frac, rounds)
+        rounds_used = 0
+        schedule = default_eps_schedule(problem, eps_final)
+        pair_idx_dev = jnp.asarray(problem.pair_idx)
+        cand_ref_dev = jnp.asarray(problem.cand_ref)
+        last_rounds = 0
 
-        n_checked = int(checked.sum())
-        n_flipped = int(flipped.sum())
-        flip_frac = n_flipped / n_checked if n_checked else 0.0
-        incumbents.append((match_ref, match_pair, flipped, checked, flip_frac, info))
-
-        if verbose:
-            print(
-                f"  tear round {tear_round}: flips={n_flipped}/{n_checked} "
-                f"cuts={cuts_added}"
+        for tear_round in range(max(1, max_tear_rounds)):
+            rounds_used = tear_round + 1
+            raw = solve_assignment(
+                problem_dev,
+                eps_final=eps_final,
+                extra_costs=extra_dev if cut_tris else None,
+                prices0=prices,
+                eps_schedule=schedule,
+                return_raw=True,
+            )
+            prices = raw.prices
+            # After the first full solve, restart phases from a short schedule —
+            # penalties only perturb a few pairs.
+            schedule = np.asarray(
+                [eps_final * 64, eps_final * 8, eps_final], np.float32
             )
 
-        if delaunay_penalty == 0.0 and not hard:
-            break
-        if n_checked == 0 or n_flipped == 0:
-            break
-        if allowed_flip_fraction is not None and flip_frac <= allowed_flip_fraction:
-            break
-        if max_cuts is not None and cuts_added >= max_cuts:
-            break
+            checked_d, flipped_d, vmove_d = _tear_metrics(
+                problem_dev.costs, extra_dev, problem_dev.slots, problem_dev.valid,
+                problem_dev.nm_cost, pair_idx_dev, cand_ref_dev, tris_j,
+                tri_mask_j, src_j, ref_xy_j, prices, raw.choice,
+            )
+            # ONE device->host transfer per round: everything packed as uint8.
+            if C + 1 < 256:
+                Tp = checked_d.shape[0]
+                buf = np.asarray(
+                    _pack_round(raw.choice, checked_d, flipped_d, vmove_d, raw.rounds)
+                )
+                n_pad_local = raw.choice.shape[0]
+                choice = buf[:n_pad_local].astype(np.int64)[:n]
+                checked_full = buf[n_pad_local : n_pad_local + Tp].astype(bool)
+                flipped_full = buf[n_pad_local + Tp : n_pad_local + 2 * Tp].astype(bool)
+                vmove_full = buf[n_pad_local + 2 * Tp : n_pad_local + 3 * Tp].astype(
+                    np.int8
+                )
+                rounds_host = int(buf[n_pad_local + 3 * Tp :].view(np.int32)[0])
+            else:
+                choice = np.asarray(raw.choice).astype(np.int64)[:n]
+                checked_full = np.asarray(checked_d)
+                flipped_full = np.asarray(flipped_d)
+                vmove_full = np.asarray(vmove_d)
+                rounds_host = int(raw.rounds)
+            last_rounds = rounds_host
+            col = np.clip(choice, 0, C - 1)
+            rows_np = np.arange(n)
+            is_match = choice < C
+            match_ref = np.where(is_match, problem.cand_ref[rows_np, col], -1).astype(
+                np.int64
+            )
+            match_pair = np.where(is_match, problem.pair_idx[rows_np, col], -1).astype(
+                np.int64
+            )
+            if T:
+                checked = checked_full[:T]
+                flipped = flipped_full[:T]
+                vmove = vmove_full[:T]
+            else:
+                checked = np.zeros(0, bool)
+                flipped = np.zeros(0, bool)
+                vmove = np.zeros(0, np.int8)
 
-        # Auction regret per bidder at current prices: held value minus the
-        # best alternative outside the held pair. Used to pick the vertex the
-        # MIP would move to satisfy each new cut.
-        eff_costs = problem.costs + extra
-        p_slot = prices[problem.slots]
-        vals = np.where(problem.valid, -(eff_costs + p_slot), -np.inf)
-        nm_vals = -np.asarray(problem.nm_cost, np.float64)
+            n_checked = int(checked.sum())
+            n_flipped = int(flipped.sum())
+            flip_frac = n_flipped / n_checked if n_checked else 0.0
+            incumbents.append(
+                (match_ref, match_pair, flipped, checked, flip_frac, last_rounds)
+            )
 
-        # Register cuts for flipped triangles (reference caps semantics).
-        added = 0
-        for t in np.flatnonzero(flipped):
-            if added >= max_cuts_per_round:
+            if verbose:
+                print(
+                    f"  tear round {tear_round}: flips={n_flipped}/{n_checked} "
+                    f"cuts={cuts_added}"
+                )
+
+            if delaunay_penalty == 0.0 and not hard:
+                break
+            if n_checked == 0 or n_flipped == 0:
+                break
+            if allowed_flip_fraction is not None and flip_frac <= allowed_flip_fraction:
                 break
             if max_cuts is not None and cuts_added >= max_cuts:
                 break
-            verts = tris[t]
-            pair_ids = match_pair[verts]
-            key = (int(t), int(pair_ids[0]), int(pair_ids[1]), int(pair_ids[2]))
-            if key in cut_keys:
-                continue
-            cut_keys.add(key)
-            cut_tris.append(int(t))
-            cut_verts_list.append(verts.copy())
-            cut_pairs_list.append(pair_ids.copy())
-            # Cheapest-to-move vertex of the triple.
-            regrets = []
-            for v, p in zip(verts, pair_ids):
-                cs = cols_for(int(v), int(p))
-                held = vals[v, cs].max()
-                others = np.delete(vals[v], cs)
-                alt = max(
-                    others.max() if others.size else -np.inf, nm_vals[v]
+
+            # Register cuts for flipped triangles (reference caps semantics);
+            # surcharge the cheapest-to-move pair, precomputed on device.
+            added = 0
+            delta_rows, delta_cols, delta_vals = [], [], []
+            for t in np.flatnonzero(flipped):
+                if added >= max_cuts_per_round:
+                    break
+                if max_cuts is not None and cuts_added >= max_cuts:
+                    break
+                verts = tris[t]
+                pair_ids = match_pair[verts]
+                key = (int(t), int(pair_ids[0]), int(pair_ids[1]), int(pair_ids[2]))
+                if key in cut_keys:
+                    continue
+                cut_keys.add(key)
+                cut_tris.append(int(t))
+                cut_verts_list.append(verts.copy())
+                cut_pairs_list.append(pair_ids.copy())
+                k = int(vmove[t])
+                v, p = int(verts[k]), int(pair_ids[k])
+                surcharge = (
+                    _HARD_PENALTY if hard else float(delaunay_penalty) * tri_weights[t]
                 )
-                regrets.append(held - alt)
-            vmove = int(np.argmin(regrets))
-            v, p = int(verts[vmove]), int(pair_ids[vmove])
-            surcharge = (
-                _HARD_PENALTY if hard else float(delaunay_penalty) * tri_weights[t]
-            )
-            extra[v, cols_for(v, p)] += surcharge
-            added += 1
-            cuts_added += 1
-        if added == 0:
-            break
+                for c in cols_for(v, p):
+                    delta_rows.append(v)
+                    delta_cols.append(int(c))
+                    delta_vals.append(surcharge)
+                added += 1
+                cuts_added += 1
+            if added == 0:
+                break
+            extra_dev = extra_dev.at[
+                jnp.asarray(delta_rows), jnp.asarray(delta_cols)
+            ].add(jnp.asarray(delta_vals, extra_dev.dtype))
+
 
     # The MIP objective of a matching depends on the final cut set (a triple
     # separated in a later round still binds an earlier incumbent). Evaluate
     # every incumbent under the final cuts and return the best.
     best = None
-    for match_ref, match_pair, flipped, checked, flip_frac, info in incumbents:
+    for match_ref, match_pair, flipped, checked, flip_frac, rounds in incumbents:
         base_obj, mip_obj, q_active = true_objective(match_ref, match_pair)
         if hard:
             # Hard spatial constraints: a flipped incumbent is infeasible.
@@ -250,13 +403,13 @@ def solve_with_tearing(
         else:
             key = (0, mip_obj)
         if best is None or key < best[0]:
-            best = (key, match_ref, match_pair, info)
+            best = (key, match_ref, match_pair, rounds)
 
     # Exact-objective local repair: branch-and-bound finds coordinated escapes
     # (e.g. unmatching one vertex disables a triangle's orientation check
     # entirely) that the cut-penalty loop cannot represent. Greedy 1-move
     # descent over the vertices involved in flips/cuts closes most of that gap.
-    _obj0, match_ref, match_pair, info = best
+    _obj0, match_ref, match_pair, rounds = best
     if T and (delaunay_penalty > 0.0 or hard):
         match_ref, match_pair = _local_repair(
             problem, pair_costs, tris, tri_weights, source_signs_np,
@@ -288,7 +441,7 @@ def solve_with_tearing(
         cuts_added=cuts_added,
         tear_rounds=rounds_used,
         q_active=q_active,
-        info={"rounds": info["rounds"]},
+        info={"rounds": rounds},
     )
 
 
