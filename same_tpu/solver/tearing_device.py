@@ -250,7 +250,12 @@ def run_tearing_device(
     )
     # Chunked execution: a few tear rounds per device call keeps each XLA
     # execution under runtime watchdog limits; state never leaves the device.
-    chunk = 3
+    # Both the chunk size and the per-solve auction-round budget shrink with
+    # problem size so one execution stays ~10-20s; capped solves resume
+    # seamlessly next round thanks to warm-carried assignments/prices.
+    work_per_round = n_pad * C
+    max_rounds = max(4000, min(max_rounds, int(1.2e9 / max(1, work_per_round))))
+    chunk = 1
     state = _init_state(
         n_pad, C, T, K, max_tear_rounds,
         jnp.zeros(problem.n_slots + 1, costs_d.dtype),
@@ -260,6 +265,11 @@ def run_tearing_device(
         state = _tearing_loop(
             *args, state, jnp.int32(r_host + chunk), **kwargs
         )
+        # Re-materialize carried buffers: feeding one execution's outputs
+        # straight back as the next execution's inputs faults the TPU
+        # runtime on some deployments (buffer aliasing through the tunnel);
+        # an on-device copy is cheap and sidesteps it.
+        state = jax.tree.map(jnp.copy, state)
         # Two tiny scalar pulls per chunk.
         r_host = int(state[4])
         if bool(state[6]) or r_host >= max_tear_rounds:
