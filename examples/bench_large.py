@@ -1,6 +1,11 @@
 #!/usr/bin/env python
 """LUAD33-scale benchmark: ~100k+~94k cells, MS=3 metacells, windowed solve.
 
+Default window_size is 8000 (vs the reference's 13000): smaller windows keep
+per-window tensors inside shapes proven safe on the current TPU runtime (see
+ARCHITECTURE.md known issues); totals remain comparable since the metric is
+whole-tissue solve time.
+
 Mirrors the reference's headline scale case (examples/luad/run_same.sh:
 window=13000, overlap=250, radius=250, knn=8, MS=3, dp sweep). The reference
 reports total Gurobi solve times of 0.5 / 1.8 / 608.9 minutes at
@@ -61,6 +66,7 @@ def main():
     ap.add_argument("--cells", type=int, default=100000)
     ap.add_argument("--extent", type=float, default=26000)
     ap.add_argument("--ms", type=int, default=3)
+    ap.add_argument("--window", type=int, default=8000)
     args = ap.parse_args()
 
     from same_tpu import greedy_triangle_collapse, sliding_window_matching
@@ -87,7 +93,7 @@ def main():
     matches = sliding_window_matching(
         mc_ref, mc_align,
         optim_params=dict(
-            window_size=13000, overlap=250, min_cells_per_window=30,
+            window_size=args.window, overlap=250, min_cells_per_window=30,
             max_matches=1, radius=250, knn=8, no_match_penalty=10000,
             dist_ct_coeff=1, penalty_coeff=100, delaunay_penalty=args.dp,
             cell_id_col="metacell_id", ref_metacell_match_multiplier=args.ms,

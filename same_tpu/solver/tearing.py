@@ -50,6 +50,24 @@ from .auction import default_eps_schedule, solve_assignment
 
 _HARD_PENALTY = 1e7
 
+# Process-wide fallback switch: set when the fused device tearing loop
+# faults the accelerator runtime, so subsequent windows use the host loop.
+_DEVICE_LOOP_DISABLED = {"flag": False}
+
+
+def _wait_for_device_recovery(max_wait_s: float = 420.0) -> bool:
+    """Poll the backend with a tiny computation until it answers again."""
+    import time as _time
+
+    deadline = _time.time() + max_wait_s
+    while _time.time() < deadline:
+        try:
+            float(jnp.zeros(2).sum())
+            return True
+        except Exception:
+            _time.sleep(20.0)
+    return False
+
 
 @jax.jit
 def _tear_metrics(
@@ -169,6 +187,7 @@ def solve_with_tearing(
         nm_cost=jnp.asarray(problem.nm_cost),
     )
     extra_dev = jnp.zeros((n_pad, C), dtype=problem.costs.dtype)
+    extra_host = np.zeros((n_pad, C), dtype=problem.costs.dtype)
     # Registered cuts, stored as growable parallel arrays for vectorized
     # activity checks (the objective is evaluated many times per repair).
     cut_keys: set[tuple] = set()
@@ -216,25 +235,51 @@ def solve_with_tearing(
     # accelerator backend) or the problem is large; the host loop's
     # cold-restart incumbent stream searches better on small adversarial
     # instances where re-solves are cheap (CPU test path).
-    if device_loop and T > 0 and (n >= 512 or jax.default_backend() != "cpu"):
+    use_device = (
+        device_loop
+        and T > 0
+        and not _DEVICE_LOOP_DISABLED["flag"]
+        and (n >= 512 or jax.default_backend() != "cpu")
+        # Known TPU-runtime fault: the tearing metrics computation
+        # kernel-faults the worker when n_pad * (C + 1) exceeds ~120k
+        # (reproduced at [16384, 9] and [12288, 25]; the plain auction at the
+        # same shapes is fine). Until root-caused, larger problems run the
+        # host loop with host-side metrics. TODO(solver): bisect the
+        # miscompile and report upstream.
+        and n_pad * (C + 1) <= 120_000
+    )
+    safe_metrics = n_pad * (C + 1) > 120_000 and jax.default_backend() != "cpu"
+    if use_device:
         # Fused on-device separation loop: one transfer for all rounds
         # (tearing_device.py). Cut registry reconstructed for the exact
         # host-side incumbent evaluation and local repair below.
         from .tearing_device import run_tearing_device
 
-        data = run_tearing_device(
-            problem, tris, tri_weights, source_signs_np,
-            np.asarray(ref_coords, np.float32),
-            delaunay_penalty=float(delaunay_penalty),
-            allowed_flip_fraction=(
-                allowed_flip_fraction if allowed_flip_fraction is not None else None
-            ),
-            max_cuts=max_cuts,
-            max_cuts_per_round=max_cuts_per_round,
-            max_tear_rounds=max_tear_rounds,
-            eps_final=eps_final,
-            hard=hard,
-        )
+        try:
+            data = run_tearing_device(
+                problem, tris, tri_weights, source_signs_np,
+                np.asarray(ref_coords, np.float32),
+                delaunay_penalty=float(delaunay_penalty),
+                allowed_flip_fraction=(
+                    allowed_flip_fraction
+                    if allowed_flip_fraction is not None else None
+                ),
+                max_cuts=max_cuts,
+                max_cuts_per_round=max_cuts_per_round,
+                max_tear_rounds=max_tear_rounds,
+                eps_final=eps_final,
+                hard=hard,
+            )
+        except Exception as e:  # runtime fault -> host-loop fallback
+            print(
+                f"Device tearing loop failed ({type(e).__name__}); "
+                "falling back to the host separation loop for this process."
+            )
+            _DEVICE_LOOP_DISABLED["flag"] = True
+            use_device = False
+            if not _wait_for_device_recovery():
+                raise
+    if use_device:
         rounds_used = data["rounds_used"]
         cuts_added = data["cuts_added"]
         cut_tris.extend(data["cut_tris"])
@@ -288,31 +333,77 @@ def solve_with_tearing(
                 [eps_final * 64, eps_final * 8, eps_final], np.float32
             )
 
-            checked_d, flipped_d, vmove_d = _tear_metrics(
-                problem_dev.costs, extra_dev, problem_dev.slots, problem_dev.valid,
-                problem_dev.nm_cost, pair_idx_dev, cand_ref_dev, tris_j,
-                tri_mask_j, src_j, ref_xy_j, prices, raw.choice,
-            )
-            # ONE device->host transfer per round: everything packed as uint8.
-            if C + 1 < 256:
-                Tp = checked_d.shape[0]
-                buf = np.asarray(
-                    _pack_round(raw.choice, checked_d, flipped_d, vmove_d, raw.rounds)
-                )
-                n_pad_local = raw.choice.shape[0]
-                choice = buf[:n_pad_local].astype(np.int64)[:n]
-                checked_full = buf[n_pad_local : n_pad_local + Tp].astype(bool)
-                flipped_full = buf[n_pad_local + Tp : n_pad_local + 2 * Tp].astype(bool)
-                vmove_full = buf[n_pad_local + 2 * Tp : n_pad_local + 3 * Tp].astype(
-                    np.int8
-                )
-                rounds_host = int(buf[n_pad_local + 3 * Tp :].view(np.int32)[0])
-            else:
-                choice = np.asarray(raw.choice).astype(np.int64)[:n]
-                checked_full = np.asarray(checked_d)
-                flipped_full = np.asarray(flipped_d)
-                vmove_full = np.asarray(vmove_d)
+            if safe_metrics:
+                # Known TPU-runtime fault territory: compute the per-round
+                # metrics on HOST instead (numpy over [n, C] is cheap); only
+                # the choice vector and the price vector cross the wire.
+                choice_full = np.asarray(
+                    raw.choice.astype(jnp.uint8) if C + 1 < 256 else raw.choice
+                ).astype(np.int64)
+                prices_np = np.asarray(raw.prices)
                 rounds_host = int(raw.rounds)
+                choice = choice_full[:n]
+                col_f = np.clip(choice_full, 0, C - 1)
+                rows_f = np.arange(n_pad)
+                is_match_f = choice_full < C
+                mp_f = np.where(is_match_f, problem.pair_idx[rows_f, col_f], -1)
+                mr_f = np.where(is_match_f, problem.cand_ref[rows_f, col_f], -1)
+                # Flip test (numpy mirror of ops/orient.matched_triangle_flips).
+                ref_np = np.asarray(ref_coords, np.float64)
+                tm = mr_f[tris]
+                all_m = np.all(tm >= 0, axis=1)
+                pnts = ref_np[np.clip(tm, 0, len(ref_np) - 1)]
+                cross = (pnts[:, 1, 0] - pnts[:, 0, 0]) * (
+                    pnts[:, 2, 1] - pnts[:, 0, 1]
+                ) - (pnts[:, 1, 1] - pnts[:, 0, 1]) * (pnts[:, 2, 0] - pnts[:, 0, 0])
+                rs = np.sign(cross).astype(np.int32)
+                checked_full = all_m & (source_signs_np != 0) & (rs != 0)
+                flipped_full = checked_full & (rs != source_signs_np)
+                # Regret + cheapest-to-move vertex.
+                eff = problem.costs + extra_host
+                p_slot = prices_np[problem.slots]
+                vals = np.where(problem.valid, -(eff + p_slot), -np.inf)
+                nm_np = np.asarray(problem.nm_cost, np.float64)
+                held = np.where(is_match_f, vals[rows_f, col_f], -nm_np)
+                alt_mask = problem.valid & (problem.pair_idx != mp_f[:, None])
+                alt_best = np.maximum(
+                    np.where(alt_mask, vals, -np.inf).max(axis=1), -nm_np
+                )
+                regret = held - alt_best
+                vmove_full = np.argmin(
+                    regret[np.clip(tris, 0, n_pad - 1)], axis=1
+                ).astype(np.int8)
+            else:
+                checked_d, flipped_d, vmove_d = _tear_metrics(
+                    problem_dev.costs, extra_dev, problem_dev.slots,
+                    problem_dev.valid, problem_dev.nm_cost, pair_idx_dev,
+                    cand_ref_dev, tris_j, tri_mask_j, src_j, ref_xy_j, prices,
+                    raw.choice,
+                )
+                # ONE device->host transfer per round: everything packed.
+                if C + 1 < 256:
+                    Tp = checked_d.shape[0]
+                    buf = np.asarray(
+                        _pack_round(
+                            raw.choice, checked_d, flipped_d, vmove_d, raw.rounds
+                        )
+                    )
+                    n_pad_local = raw.choice.shape[0]
+                    choice = buf[:n_pad_local].astype(np.int64)[:n]
+                    checked_full = buf[n_pad_local : n_pad_local + Tp].astype(bool)
+                    flipped_full = buf[
+                        n_pad_local + Tp : n_pad_local + 2 * Tp
+                    ].astype(bool)
+                    vmove_full = buf[
+                        n_pad_local + 2 * Tp : n_pad_local + 3 * Tp
+                    ].astype(np.int8)
+                    rounds_host = int(buf[n_pad_local + 3 * Tp :].view(np.int32)[0])
+                else:
+                    choice = np.asarray(raw.choice).astype(np.int64)[:n]
+                    checked_full = np.asarray(checked_d)
+                    flipped_full = np.asarray(flipped_d)
+                    vmove_full = np.asarray(vmove_d)
+                    rounds_host = int(raw.rounds)
             last_rounds = rounds_host
             col = np.clip(choice, 0, C - 1)
             rows_np = np.arange(n)
@@ -385,6 +476,10 @@ def solve_with_tearing(
                 cuts_added += 1
             if added == 0:
                 break
+            np.add.at(
+                extra_host, (np.asarray(delta_rows), np.asarray(delta_cols)),
+                np.asarray(delta_vals, extra_host.dtype),
+            )
             extra_dev = extra_dev.at[
                 jnp.asarray(delta_rows), jnp.asarray(delta_cols)
             ].add(jnp.asarray(delta_vals, extra_dev.dtype))
