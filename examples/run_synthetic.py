@@ -10,10 +10,12 @@ Usage: python examples/run_synthetic.py [--dp 10] [--out results/synthetic]
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+import pandas as pd
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
@@ -23,6 +25,10 @@ def main():
     ap.add_argument("--dp", type=float, default=10.0)
     ap.add_argument("--seed", type=int, default=8899)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--figures", action="store_true",
+        help="write Fig-2-style panels (requires --out)",
+    )
     args = ap.parse_args()
 
     from same_tpu import (
@@ -32,7 +38,7 @@ def main():
         run_same,
     )
 
-    ref_df, query_df, _quadrants, gt, _expr = create_full_benchmark(seed=args.seed)
+    ref_df, query_df, quadrants, gt, _expr = create_full_benchmark(seed=args.seed)
     print(f"Benchmark: {len(ref_df)} template / {len(query_df)} query cells")
 
     mc_align = greedy_triangle_collapse(
@@ -84,6 +90,63 @@ def main():
             indent=2,
         )
     )
+
+    # --- Per-quadrant evaluation (reference Fig 2 / S1 flow) ---------------
+    from same_tpu.synthetic import check_triangle_violations_within_quadrants
+
+    qmatches = check_triangle_violations_within_quadrants(matches, mc_align)
+    gt_map = dict(zip(gt["query_idx"], gt["ref_idx"]))
+    rows = []
+    quad_of_query = query_df["quadrant"].to_numpy()
+    for name in ("top_left", "top_right", "bottom_right", "bottom_left"):
+        sel = qmatches[quad_of_query[qmatches["Aligned_metacell_id"]] == name]
+        n_quad = int((quad_of_query == name).sum())
+        correct = sum(
+            gt_map.get(int(a), -2) == int(r)
+            for a, r in zip(sel["Aligned_metacell_id"], sel["Ref_metacell_id"])
+        )
+        rows.append(
+            {
+                "quadrant": name,
+                "query_cells": n_quad,
+                "matched": len(sel),
+                "accuracy": round(correct / max(len(sel), 1), 4),
+                "violation_frac": round(
+                    float(sel["triangle_violation"].mean()) if len(sel) else 0.0,
+                    4,
+                ),
+            }
+        )
+    per_quad = pd.DataFrame(rows)
+    print("\nPer-quadrant results:")
+    print(per_quad.to_string(index=False))
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        per_quad.to_csv(os.path.join(args.out, "per_quadrant.csv"), index=False)
+
+    if args.figures and args.out:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from same_tpu.viz import (
+            plot_quadrant_summary,
+            visualize_benchmark_v2,
+            visualize_matches,
+            visualize_space_tearing,
+            visualize_topological_merger,
+        )
+
+        figs = {
+            "benchmark": visualize_benchmark_v2(ref_df, query_df),
+            "matches": visualize_matches(qmatches, ref_df=ref_df),
+            "space_tearing": visualize_space_tearing(quadrants),
+            "topological_merger": visualize_topological_merger(quadrants),
+            "quadrant_summary": plot_quadrant_summary(per_quad),
+        }
+        for name, fig in figs.items():
+            path = os.path.join(args.out, f"fig_{name}.png")
+            fig.savefig(path, dpi=150)
+            print(f"wrote {path}")
 
 
 if __name__ == "__main__":

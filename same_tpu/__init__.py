@@ -18,7 +18,7 @@ from .candidates import (
     find_knn_within_radius,
     preprocess_data,
 )
-from .core import run_same
+from .core import finalize_window, prepare_window, run_same, solve_prepared
 from .io import load_matching_results
 from .eval import (
     check_alignment,
@@ -66,4 +66,8 @@ __all__ = [
     "subset_data",
     "preprocess_data",
     "load_matching_results",
+    # Staged pipeline (multi-chip orchestration hooks)
+    "prepare_window",
+    "solve_prepared",
+    "finalize_window",
 ]

@@ -17,13 +17,23 @@ space-tearing solver. The DataFrame contract is preserved end to end:
 
 Internally the window is arrays, not DataFrames: padded candidate tensors,
 triangle arrays, and the slot-expanded assignment problem, solved on device.
+
+The pipeline is staged so the multi-chip orchestrator can fan the device
+phase out across a mesh (parallel/shard.py):
+
+  prepare_window   host preprocessing -> PreparedWindow (arrays + problem)
+  solve_prepared   device solve (auction + tearing separation)
+  finalize_window  output assembly, verification, artifacts
+
+``run_same`` composes the three for the single-window, reference-parity path.
 """
 
 from __future__ import annotations
 
 import os
 import time
-from typing import Any, Dict, Optional
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 import pandas as pd
@@ -40,8 +50,8 @@ from .geometry import (
     filter_triangles_by_radius,
     orientation_signs_np,
 )
-from .models.assignment import build_assignment_problem
-from .solver.tearing import solve_with_tearing
+from .models.assignment import AssignmentProblem, build_assignment_problem
+from .solver.tearing import TearingResult, solve_with_tearing
 from .utils.params import init_optim_params, init_solver_params
 
 
@@ -95,33 +105,59 @@ def pair_costs_for(
     return dist_ct_coeff * dist_ct + (0.001 * dist_ct_coeff) * dist_xy
 
 
-def run_same(
+@dataclass
+class PreparedWindow:
+    """All host-side preprocessing for one window solve.
+
+    Produced by :func:`prepare_window`; consumed by :func:`solve_prepared`
+    (device phase) and :func:`finalize_window` (output assembly). The
+    multi-chip orchestrator batches the device phase of many PreparedWindows
+    across a mesh.
+    """
+
+    aligned_df: pd.DataFrame
+    ref_df: pd.DataFrame
+    commonCT: list
+    optim: Dict[str, Any]
+    solver: Dict[str, Any]
+    valid_pairs: np.ndarray
+    pair_costs: np.ndarray
+    problem: AssignmentProblem
+    tris: np.ndarray
+    tri_weights: np.ndarray
+    source_signs: np.ndarray
+    aligned_coords: np.ndarray
+    ref_coords: np.ndarray
+    aligned_simplex_map: dict
+    triangle_info: dict
+    eps_solver: float
+    prices0: Optional[np.ndarray] = None
+    warm_info: Dict[str, Any] = field(default_factory=dict)
+    stage_times: Dict[str, float] = field(default_factory=dict)
+    t_start: float = field(default_factory=time.time)
+    eps_floor: float = 0.0
+    obj_lb: float = 0.0
+
+
+def prepare_window(
     ref_df,
     aligned_df,
     commonCT,
-    outprefix: Optional[str] = None,
     aligned_delaunay=None,
     aligned_delaunay_vertex_col: Optional[str] = None,
     optim_params: Optional[Dict[str, Any]] = None,
-    gurobi_params: Optional[Dict[str, Any]] = None,
     solver_params: Optional[Dict[str, Any]] = None,
     ignore_precomputed_triangulation: bool = False,
     verbose: bool = True,
-):
-    """Find optimal spatial matches between aligned and reference cells.
+) -> PreparedWindow:
+    """Host preprocessing: candidates, triangulation, costs, problem build.
 
-    See module docstring for the I/O contract. ``gurobi_params`` is accepted
-    for API parity and merged with ``solver_params``.
+    Mirrors reference src/same.py:891-1215 (everything before
+    ``model.optimize``). Returns a :class:`PreparedWindow`.
     """
     t_start = time.time()
-    if solver_params is None:
-        solver_params = gurobi_params or {}
-    elif gurobi_params:
-        merged = dict(gurobi_params)
-        merged.update(solver_params)
-        solver_params = merged
-    if optim_params is None:
-        optim_params = {}
+    stage_times: Dict[str, float] = {}
+    optim_params = dict(optim_params or {})
 
     # MetaCell duck-typing (reference src/same.py:891-899).
     if hasattr(aligned_df, "metacell_df") and hasattr(aligned_df, "metacell_delaunay"):
@@ -134,10 +170,9 @@ def run_same(
         if (optim_params.get("cell_id_col") is None) and hasattr(
             mc, "metacell_idx_col"
         ):
-            optim_params = dict(optim_params)
             optim_params["cell_id_col"] = mc.metacell_idx_col
 
-    optim = init_optim_params(**(optim_params or {}))
+    optim = init_optim_params(**optim_params)
     solver = init_solver_params(**(solver_params or {}))
 
     max_matches = optim["max_matches"]
@@ -145,14 +180,10 @@ def run_same(
     radius = optim["radius"]
     penalty_coeff = optim["penalty_coeff"]
     no_match_penalty = optim["no_match_penalty"]
-    delaunay_penalty = optim["delaunay_penalty"]
     dist_ct_coeff = optim["dist_ct_coeff"]
     knn = optim["knn"]
-    hard_spatial = optim["hard_spatial_constraints"]
     ignore_same_type = optim["ignore_same_type_triangles"]
-    lazy_constraints = optim["lazy_constraints"]
     min_angle_deg = optim.get("min_angle_deg", 15)
-    cell_id_col = optim["cell_id_col"]
 
     # Default size column (metacell auto-detection, reference :933-939).
     aligned_df = aligned_df.copy()
@@ -185,6 +216,7 @@ def run_same(
         )
 
     # Candidate generation (:972-979).
+    t0 = time.time()
     if optim["ignore_knn_if_matched"]:
         aligned_df, ref_df, valid_pairs = find_knn_with_cell_type_priority(
             aligned_df, ref_df, radius, knn=knn
@@ -193,6 +225,7 @@ def run_same(
         aligned_df, ref_df, valid_pairs = find_knn_within_radius(
             aligned_df, ref_df, radius, knn=knn
         )
+    stage_times["candidates"] = time.time() - t0
     valid_pairs = np.asarray(valid_pairs, dtype=np.int64).reshape(-1, 2)
     if len(valid_pairs) == 0:
         raise ValueError(
@@ -202,6 +235,7 @@ def run_same(
     n_ref = len(ref_df)
 
     # Triangulation: fresh or precomputed+remapped (:1016-1031).
+    t0 = time.time()
     aligned_coords = aligned_df[["X", "Y"]].to_numpy(dtype=np.float64)
     using_precomputed = False
     if aligned_delaunay is None or ignore_precomputed_triangulation:
@@ -211,7 +245,9 @@ def run_same(
         tris = _remap_triangles_by_vertex_ids(
             aligned_delaunay, aligned_df["__tri_vid"].to_numpy()
         )
+    stage_times["triangulate"] = time.time() - t0
 
+    t0 = time.time()
     cell_types = (
         aligned_df["cell_type"].to_numpy()
         if "cell_type" in aligned_df.columns
@@ -240,6 +276,7 @@ def run_same(
             verbose=verbose,
         )
     tris = np.asarray(tris, dtype=np.int64).reshape(-1, 3)
+    stage_times["filter_triangles"] = time.time() - t0
 
     # Remove unconstrained nodes (precomputed path only, :1055-1085).
     if unconstrained_nodes:
@@ -275,6 +312,7 @@ def run_same(
     triangle_info = precompute_triangle_info(aligned_df, tris, aligned_simplex_map)
 
     # Costs, weights, orientations.
+    t0 = time.time()
     costs = pair_costs_for(aligned_df, ref_df, valid_pairs, commonCT, dist_ct_coeff)
     sizes_a = aligned_df["size"].to_numpy(dtype=np.float64)
     sizes_r = ref_df["size"].to_numpy(dtype=np.float64)
@@ -286,6 +324,7 @@ def run_same(
         if tris.size
         else np.zeros(0, dtype=np.int32)
     )
+    stage_times["costs"] = time.time() - t0
 
     # Ref capacities (reference src/helpers.py:118-137).
     ref_has_metacells = (sizes_r > 1).any()
@@ -306,6 +345,7 @@ def run_same(
 
     no_match_cost = no_match_penalty * sizes_a
 
+    t0 = time.time()
     problem = build_assignment_problem(
         valid_pairs,
         costs,
@@ -315,55 +355,239 @@ def run_same(
         penalty_coeff,
         no_match_cost,
     )
+    stage_times["build_problem"] = time.time() - t0
 
-    ref_coords = ref_df[["X", "Y"]].to_numpy(dtype=np.float64)
-    if verbose:
-        print(
-            f"Solving: {len(valid_pairs)} pairs, {len(tris)} triangles, "
-            f"{'lazy' if lazy_constraints else 'eager'} tearing, "
-            f"dp={delaunay_penalty}"
-        )
-
-    allowed_frac = (
-        solver["lazy_allowed_flip_fraction"] if lazy_constraints else 0.0
-    )
-    # Auction epsilon scaled to the requested optimality gap: n * eps bounds
-    # the suboptimality, so eps = mip_gap * objective_lower_bound / n matches
-    # Gurobi's relative-gap termination (reference mip_gap semantics) while
-    # avoiding epsilon-wars far below the tolerance. The lower bound ignores
-    # conflicts: sum over points of min(best pair cost, no-match cost).
+    # Auction epsilon sized to the requested optimality gap: n * eps bounds
+    # the auction's suboptimality, so the target is n * eps ~ mip_gap * OPT
+    # (Gurobi's relative-gap termination, reference mip_gap semantics).
+    #
+    # Two OPT estimates: a rigorous lower bound (sum over points of
+    # min(best pair cost, no-match cost) — ignores conflicts, so often far
+    # below OPT when congestion/no-match terms dominate) and a sharp upper
+    # bound from a greedy matching. eps is sized from the greedy estimate
+    # (with 2x margin); solve_prepared certifies the gap post-solve against
+    # the realized objective and retries finer on the rare miss. Floors:
+    # tpu_eps_final (absolute) and the float32 price resolution — bid
+    # increments below ~2e-6 of the price scale vanish when added to f32
+    # prices, turning exact ties into endless eviction wars.
     best_pair_cost = np.full(n_aligned, np.inf)
     np.minimum.at(best_pair_cost, valid_pairs[:, 0], costs)
     obj_lb = float(np.minimum(best_pair_cost, no_match_cost).sum())
-    eps_solver = max(
+    from .models.assignment import matching_objective
+    from .warmstart import compute_warm_start_pairs
+
+    greedy_chosen, _greedy_unmatched = compute_warm_start_pairs(
+        valid_pairs=[(int(i), int(j)) for i, j in valid_pairs],
+        costs=costs,
+        n_aligned=n_aligned,
+        n_ref=n_ref,
+        aligned_sizes=sizes_a,
+        no_match_penalty=no_match_penalty,
+        max_matches=max_matches,
+        init_method="greedy",
+        verbose=False,
+    )
+    greedy_mr = np.full(n_aligned, -1, dtype=np.int64)
+    greedy_cost = np.zeros(n_aligned)
+    for i, j, idx in greedy_chosen:
+        greedy_mr[i] = j
+        greedy_cost[i] = costs[idx]
+    obj_est = matching_objective(
+        greedy_mr, greedy_cost, n_ref, penalty_coeff, no_match_cost
+    )
+    gap = float(solver["mip_gap"])
+    eps_floor = max(
         float(solver["tpu_eps_final"]),
-        float(solver["mip_gap"]) * obj_lb / max(n_aligned, 1) / 4.0,
+        max(
+            float(np.max(costs, initial=0.0)),
+            float(np.max(no_match_cost, initial=0.0)),
+        )
+        * 2e-6,
     )
-    result = solve_with_tearing(
-        problem,
-        costs,
-        tris,
-        tri_weights,
-        source_signs,
-        ref_coords,
-        delaunay_penalty=float(delaunay_penalty),
-        penalty_coeff=float(penalty_coeff),
-        allowed_flip_fraction=allowed_frac,
-        max_cuts=solver["lazy_max_cuts"],
-        max_cuts_per_round=solver["lazy_max_cuts_per_incumbent"],
-        max_tear_rounds=solver["tpu_max_tear_rounds"],
-        eps_final=eps_solver,
-        hard=hard_spatial,
-        verbose=verbose,
+    eps_solver = max(
+        eps_floor,
+        gap * max(obj_lb, obj_est / 2.0) / max(n_aligned, 1) / 2.0,
     )
-    solve_time = time.time() - t_start
-    time_limit = solver["time_limit"]
-    time_limit_reached = bool(
-        time_limit is not None and solve_time > float(time_limit)
+
+    # Warm start (reference src/same.py:1201-1215, src/init_helpers.py:180-237):
+    # the MIP start becomes initial slot prices derived from the heuristic
+    # matching's margins, which lets the auction skip the coarse-epsilon
+    # bidding wars those matches would have fought. With init_method unset,
+    # the greedy matching computed above for the eps estimate doubles as an
+    # automatic warm start (disable with tpu_auto_warm_start=False).
+    prices0 = None
+    warm_info: Dict[str, Any] = {}
+    init_method = solver.get("init_method")
+    t0 = time.time()
+    from .warmstart import warm_start_prices
+
+    if init_method == "hungarian":
+        chosen, unmatched = compute_warm_start_pairs(
+            valid_pairs=[(int(i), int(j)) for i, j in valid_pairs],
+            costs=costs,
+            n_aligned=n_aligned,
+            n_ref=n_ref,
+            aligned_sizes=sizes_a,
+            no_match_penalty=no_match_penalty,
+            max_matches=max_matches,
+            init_method="hungarian",
+            init_big_m=solver["init_big_m"],
+            init_hungarian_max_n=solver["init_hungarian_max_n"],
+            verbose=verbose,
+        )
+        method_used = "hungarian"
+    elif init_method == "greedy" or (
+        init_method is None and solver.get("tpu_auto_warm_start", True)
+    ):
+        chosen, unmatched = greedy_chosen, _greedy_unmatched
+        method_used = "greedy" if init_method == "greedy" else "greedy-auto"
+    elif init_method:
+        raise ValueError(
+            f"Unknown init_method={init_method!r}. Use 'greedy' or 'hungarian'."
+        )
+    else:
+        chosen, unmatched, method_used = [], set(), None
+    if method_used is not None:
+        if chosen:
+            prices0 = warm_start_prices(problem, chosen)
+        warm_info = {
+            "method": method_used,
+            "n_seeded": len(chosen),
+            "n_unmatched": len(unmatched),
+        }
+        if verbose:
+            print(
+                f"Warm start ({method_used}): {len(chosen)} seeded matches, "
+                f"{len(unmatched)} unmatched"
+            )
+    stage_times["warm_start"] = time.time() - t0
+
+    return PreparedWindow(
+        aligned_df=aligned_df,
+        ref_df=ref_df,
+        commonCT=list(commonCT),
+        optim=optim,
+        solver=solver,
+        valid_pairs=valid_pairs,
+        pair_costs=costs,
+        problem=problem,
+        tris=tris,
+        tri_weights=tri_weights,
+        source_signs=source_signs,
+        aligned_coords=aligned_coords,
+        ref_coords=ref_df[["X", "Y"]].to_numpy(dtype=np.float64),
+        aligned_simplex_map=aligned_simplex_map,
+        triangle_info=triangle_info,
+        eps_solver=eps_solver,
+        prices0=prices0,
+        warm_info=warm_info,
+        stage_times=stage_times,
+        t_start=t_start,
+        eps_floor=eps_floor,
+        obj_lb=obj_lb,
     )
+
+
+def solve_prepared(
+    pw: PreparedWindow,
+    deadline: Optional[float] = None,
+    verbose: bool = True,
+) -> TearingResult:
+    """Device phase: auction + tearing separation for one prepared window.
+
+    ``deadline`` is an absolute ``time.time()`` value; the solve returns its
+    best incumbent (flagged via ``result.info['time_limit_reached']``) once
+    it passes (reference time_limit semantics, src/same.py:1245,1278).
+    """
+    optim, solver = pw.optim, pw.solver
+    lazy_constraints = optim["lazy_constraints"]
+    allowed_frac = (
+        solver["lazy_allowed_flip_fraction"] if lazy_constraints else 0.0
+    )
+    if deadline is None and solver["time_limit"] is not None:
+        deadline = pw.t_start + float(solver["time_limit"])
+    if verbose:
+        print(
+            f"Solving: {len(pw.valid_pairs)} pairs, {len(pw.tris)} triangles, "
+            f"{'lazy' if lazy_constraints else 'eager'} tearing, "
+            f"dp={optim['delaunay_penalty']}"
+        )
+    t0 = time.time()
+
+    def _solve(eps):
+        return solve_with_tearing(
+            pw.problem,
+            pw.pair_costs,
+            pw.tris,
+            pw.tri_weights,
+            pw.source_signs,
+            pw.ref_coords,
+            delaunay_penalty=float(optim["delaunay_penalty"]),
+            penalty_coeff=float(optim["penalty_coeff"]),
+            allowed_flip_fraction=allowed_frac,
+            max_cuts=solver["lazy_max_cuts"],
+            max_cuts_per_round=solver["lazy_max_cuts_per_incumbent"],
+            max_tear_rounds=solver["tpu_max_tear_rounds"],
+            eps_final=eps,
+            eps_scaling=float(solver["tpu_eps_scaling"]),
+            hard=optim["hard_spatial_constraints"],
+            device_loop=solver.get("tpu_device_loop", "auto"),
+            prices0=pw.prices0,
+            deadline=deadline,
+            verbose=verbose,
+        )
+
+    result = _solve(pw.eps_solver)
+    # Gap certification: the auction guarantees obj <= OPT + n * eps, so
+    # lb = obj - n * eps is a valid lower bound and the mip_gap contract
+    # holds iff n * eps <= mip_gap * lb. The epsilon was sized from a greedy
+    # OPT estimate (prepare_window); on the rare miss, re-solve finer.
+    n = pw.problem.n_aligned
+    gap = float(solver["mip_gap"])
+    eps = pw.eps_solver
+    lb = max(result.assignment_objective - n * eps, pw.obj_lb)
+    if (
+        n * eps > gap * lb
+        and eps > pw.eps_floor * 1.01
+        and not result.info.get("time_limit_reached", False)
+    ):
+        eps2 = max(pw.eps_floor, gap * lb / max(n, 1) / 1.5 if lb > 0 else 0.0)
+        if eps2 < eps * 0.7:
+            if verbose:
+                print(
+                    f"Gap not certified (n*eps={n * eps:.4g} > "
+                    f"{gap:.2g}*lb={gap * lb:.4g}); re-solving at eps={eps2:.3g}"
+                )
+            result2 = _solve(eps2)
+            if result2.objective <= result.objective:
+                result = result2
+            result.info["eps_retry"] = eps2
+    pw.stage_times["solve"] = time.time() - t0
+    for k in ("separation_time", "repair_time", "incumbent_eval_time"):
+        if k in result.info:
+            pw.stage_times[k] = result.info[k]
+    return result
+
+
+def finalize_window(
+    pw: PreparedWindow,
+    result: TearingResult,
+    outprefix: Optional[str] = None,
+    verbose: bool = True,
+):
+    """Output assembly, verification, artifacts (reference :1259-1481)."""
+    optim = pw.optim
+    cell_id_col = optim["cell_id_col"]
+    aligned_df, ref_df = pw.aligned_df, pw.ref_df
+    valid_pairs, tris = pw.valid_pairs, pw.tris
+    n_aligned, n_ref = pw.problem.n_aligned, pw.problem.n_ref
+    T = len(tris)
+    sizes_a = aligned_df["size"].to_numpy(dtype=np.float64)
+    sizes_r = ref_df["size"].to_numpy(dtype=np.float64)
 
     match_ref = result.match_ref
     match_pair = result.match_pair
+    time_limit_reached = bool(result.info.get("time_limit_reached", False))
 
     # ---- Output assembly (reference :1259-1278) ---------------------------
     sel_pairs = np.sort(match_pair[match_pair >= 0])
@@ -373,7 +597,7 @@ def run_same(
             "ref_idx": valid_pairs[sel_pairs, 1],
         }
     )
-    for ct in list(commonCT) + ["X", "Y"]:
+    for ct in list(pw.commonCT) + ["X", "Y"]:
         out_df[ct] = aligned_df[ct].to_numpy()[out_df["aligned_idx"]]
     for ct in ["X", "Y"]:
         out_df[f"ref_{ct}"] = ref_df[ct].to_numpy()[out_df["ref_idx"]]
@@ -386,17 +610,17 @@ def run_same(
     out_df["time_limit_reached"] = time_limit_reached
 
     # ---- Violation verification (:1302-1310) ------------------------------
+    t0 = time.time()
     violations = verify_spatial_preservation(
         aligned_df=aligned_df,
         ref_df=ref_df,
         matches_df=out_df,
-        triangle_info=triangle_info,
+        triangle_info=pw.triangle_info,
     )
     if verbose:
         print_violation_report(violations)
 
     # ---- Triangle area analysis (:1355-1408) ------------------------------
-    T = len(tris)
     areas_before = {}
     areas_after = {}
     flipped_tris = []
@@ -404,6 +628,7 @@ def run_same(
     aligned_to_ref = {
         int(i): int(j) for i, j in zip(out_df["aligned_idx"], out_df["ref_idx"])
     }
+    aligned_coords, ref_coords = pw.aligned_coords, pw.ref_coords
     for t in range(T):
         p1, p2, p3 = (int(v) for v in tris[t])
         areas_before[t] = calculate_signed_area(
@@ -428,6 +653,7 @@ def run_same(
             penalty_points.add(int(v))
     violation_points = set(violations["points_with_violations"])
     points_both = violation_points & penalty_points
+    pw.stage_times["verify"] = time.time() - t0
 
     # x vector over pairs for var_out parity.
     x_vec = np.zeros(len(valid_pairs), dtype=np.float64)
@@ -437,6 +663,8 @@ def run_same(
     u = np.bincount(match_ref[match_ref >= 0], minlength=n_ref)
     penalty_vec = np.maximum(u - 1, 0).astype(np.float64)
     q_vec = result.q_active.astype(np.float64) if T else np.zeros(0)
+
+    solve_time = time.time() - pw.t_start
 
     var_out = {
         "x": x_vec.tolist(),
@@ -451,14 +679,14 @@ def run_same(
         },
         "triangle_data": {
             "triangles": tris,
-            "triangle_info": triangle_info,
-            "aligned_simplex_map": aligned_simplex_map,
+            "triangle_info": pw.triangle_info,
+            "aligned_simplex_map": pw.aligned_simplex_map,
             "areas_before": areas_before,
             "areas_after": areas_after,
             "flipped_triangles": flipped_tris,
             "matched_vertices": matched_vertices,
         },
-        "lazy_constraints": lazy_constraints,
+        "lazy_constraints": optim["lazy_constraints"],
         "lazy_cuts_added": result.cuts_added,
         # TPU solver diagnostics (extension keys).
         "tpu": {
@@ -468,6 +696,8 @@ def run_same(
             "tear_rounds": result.tear_rounds,
             "auction_rounds": result.info.get("rounds"),
             "solve_time": solve_time,
+            "warm_start": pw.warm_info,
+            "stage_times": dict(pw.stage_times),
         },
     }
 
@@ -495,3 +725,43 @@ def run_same(
             f"time: {solve_time:.2f}s"
         )
     return out_df, var_out
+
+
+def run_same(
+    ref_df,
+    aligned_df,
+    commonCT,
+    outprefix: Optional[str] = None,
+    aligned_delaunay=None,
+    aligned_delaunay_vertex_col: Optional[str] = None,
+    optim_params: Optional[Dict[str, Any]] = None,
+    gurobi_params: Optional[Dict[str, Any]] = None,
+    solver_params: Optional[Dict[str, Any]] = None,
+    ignore_precomputed_triangulation: bool = False,
+    verbose: bool = True,
+):
+    """Find optimal spatial matches between aligned and reference cells.
+
+    See module docstring for the I/O contract. ``gurobi_params`` is accepted
+    for API parity and merged with ``solver_params``.
+    """
+    if solver_params is None:
+        solver_params = gurobi_params or {}
+    elif gurobi_params:
+        merged = dict(gurobi_params)
+        merged.update(solver_params)
+        solver_params = merged
+
+    pw = prepare_window(
+        ref_df,
+        aligned_df,
+        commonCT,
+        aligned_delaunay=aligned_delaunay,
+        aligned_delaunay_vertex_col=aligned_delaunay_vertex_col,
+        optim_params=optim_params,
+        solver_params=solver_params,
+        ignore_precomputed_triangulation=ignore_precomputed_triangulation,
+        verbose=verbose,
+    )
+    result = solve_prepared(pw, verbose=verbose)
+    return finalize_window(pw, result, outprefix=outprefix, verbose=verbose)

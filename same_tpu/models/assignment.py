@@ -44,6 +44,8 @@ class AssignmentProblem(NamedTuple):
     n_ref: int
     n_aligned: int         # real bidder count (rows beyond this are padding)
     n_slot_copies: int     # L: column-block width per candidate ref
+    slot_rows: np.ndarray  # [S, P] i32: bidder rows referencing each slot (-1 pad)
+    slot_cols: np.ndarray  # [S, P] i32: matching column per reference (0 pad)
 
 
 def _bucket(x: int, sizes=(64, 128, 256, 512, 1024, 2048, 4096, 8192)) -> int:
@@ -143,6 +145,26 @@ def build_assignment_problem(
 
     nm = np.zeros(n_rows, dtype=dtype)
     nm[:n_aligned] = np.asarray(no_match_cost, dtype=dtype)
+
+    # Slot-major transpose: for every slot, the (row, col) entries that
+    # reference it. Used by the auction's reverse-pricing boundary step
+    # (solver/auction.py) to set an unowned slot's price directly to its
+    # best bidder's surplus level instead of zeroing it — zeroing forces an
+    # epsilon-increment climb back to equilibrium (measured: 10-20k bidding
+    # rounds per tearing re-solve).
+    v_rows, v_cols = np.nonzero(valid)
+    v_slots = slots[v_rows, v_cols]
+    order = np.argsort(v_slots, kind="stable")
+    s_sorted = v_slots[order]
+    group_start = np.searchsorted(s_sorted, np.arange(n_slots))
+    pos = np.arange(len(s_sorted)) - group_start[s_sorted]
+    P = int(pos.max()) + 1 if len(pos) else 1
+    P = ((P + 7) // 8) * 8
+    slot_rows = np.full((n_slots, P), -1, dtype=np.int32)
+    slot_cols = np.zeros((n_slots, P), dtype=np.int32)
+    slot_rows[s_sorted, pos] = v_rows[order]
+    slot_cols[s_sorted, pos] = v_cols[order]
+
     return AssignmentProblem(
         costs=costs,
         slots=slots,
@@ -155,6 +177,8 @@ def build_assignment_problem(
         n_ref=n_ref,
         n_aligned=n_aligned,
         n_slot_copies=L,
+        slot_rows=slot_rows,
+        slot_cols=slot_cols,
     )
 
 

@@ -49,7 +49,16 @@ def stack_problems(problems: Sequence[AssignmentProblem]):
     slots = np.stack([p.slots for p in problems])
     valid = np.stack([p.valid for p in problems])
     nm = np.stack([p.nm_cost for p in problems])
-    return costs, slots, valid, nm
+    P_max = max(p.slot_rows.shape[1] for p in problems)
+
+    def pad_P(a, fill):
+        out = np.full((a.shape[0], P_max), fill, a.dtype)
+        out[:, : a.shape[1]] = a
+        return out
+
+    slot_rows = np.stack([pad_P(p.slot_rows, -1) for p in problems])
+    slot_cols = np.stack([pad_P(p.slot_cols, 0) for p in problems])
+    return costs, slots, valid, nm, slot_rows, slot_cols
 
 
 def solve_window_batch(
@@ -67,7 +76,7 @@ def solve_window_batch(
     last problem (discarded on return).
     """
     B = len(problems)
-    costs, slots, valid, nm = stack_problems(problems)
+    costs, slots, valid, nm, slot_rows, slot_cols = stack_problems(problems)
     if extra_costs is not None:
         costs = costs + np.asarray(extra_costs, dtype=costs.dtype)
 
@@ -88,27 +97,34 @@ def solve_window_batch(
             slots = np.concatenate([slots, np.repeat(slots[-1:], pad, axis=0)])
             valid = np.concatenate([valid, np.repeat(valid[-1:], pad, axis=0)])
             nm = np.concatenate([nm, np.repeat(nm[-1:], pad, axis=0)])
+            slot_rows = np.concatenate(
+                [slot_rows, np.repeat(slot_rows[-1:], pad, axis=0)]
+            )
+            slot_cols = np.concatenate(
+                [slot_cols, np.repeat(slot_cols[-1:], pad, axis=0)]
+            )
 
     S = problems[0].n_slots
 
-    def solve_one(c, s, v, n):
+    def solve_one(c, s, v, n, sr, sc):
         prices0 = jnp.zeros(S + 1, dtype=c.dtype)
-        res = _auction_run(c, s, v, n, prices0, eps_schedule, max_rounds=max_rounds)
+        res = _auction_run(
+            c, s, v, n, prices0, eps_schedule, max_rounds=max_rounds,
+            slot_rows=sr, slot_cols=sc,
+        )
         return res.choice, res.prices, res.rounds
 
     fn = jax.vmap(solve_one)
+    batch_arrays = (costs, slots, valid, nm, slot_rows, slot_cols)
     if mesh is not None:
         axis = mesh.axis_names[0]
         sharding = NamedSharding(mesh, P(axis))
-        args = [
-            jax.device_put(jnp.asarray(a), sharding)
-            for a in (costs, slots, valid, nm)
-        ]
+        args = [jax.device_put(jnp.asarray(a), sharding) for a in batch_arrays]
         fn = jax.jit(fn)
         choices, prices, rounds = fn(*args)
     else:
         choices, prices, rounds = jax.jit(fn)(
-            jnp.asarray(costs), jnp.asarray(slots), jnp.asarray(valid), jnp.asarray(nm)
+            *[jnp.asarray(a) for a in batch_arrays]
         )
 
     choices = np.asarray(choices)[:B]
@@ -124,3 +140,115 @@ def solve_window_batch(
         match_pair = np.where(is_match, p.pair_idx[rows, col], -1).astype(np.int64)
         out.append((match_ref, match_pair))
     return out, {"choices": choices, "prices": prices, "rounds": np.asarray(rounds)[:B]}
+
+
+def solve_windows_sharded(
+    prepared: Sequence,
+    mesh: Optional[Mesh] = None,
+    deadline: Optional[float] = None,
+    verbose: bool = False,
+) -> List:
+    """Run the FULL device solve (auction + tearing separation) for a list of
+    PreparedWindows, batched by shape bucket and sharded over ``mesh``.
+
+    This is the multi-chip replacement for the reference's sequential
+    per-window ``model.optimize`` loop (reference src/same.py:507-593): the
+    batched fused tearing loop (tearing_device.run_tearing_device_batch)
+    runs every window's separation rounds in lockstep across devices; the
+    exact host-side incumbent evaluation and local repair then run per
+    window. Returns a list of TearingResult aligned with ``prepared``.
+
+    Windows whose triangulation is empty (no orientation constraints) fall
+    back to the single-window path.
+    """
+    import time as _time
+
+    from ..core import solve_prepared
+    from ..solver.tearing import _finish_solve, incumbents_from_device_data
+    from ..solver.tearing_device import run_tearing_device_batch
+
+    results: List = [None] * len(prepared)
+    groups: dict = {}
+    for idx, pw in enumerate(prepared):
+        if len(pw.tris) == 0:
+            results[idx] = solve_prepared(pw, deadline=deadline, verbose=verbose)
+            continue
+        solver = pw.solver
+        key = (
+            pw.problem.costs.shape,
+            pw.problem.n_slots,
+            pw.problem.n_slot_copies,
+            solver["lazy_max_cuts"],
+            solver["lazy_max_cuts_per_incumbent"],
+            solver["tpu_max_tear_rounds"],
+        )
+        groups.setdefault(key, []).append(idx)
+
+    for key, idxs in groups.items():
+        pws = [prepared[i] for i in idxs]
+        solver0 = pws[0].solver
+        t_sep0 = _time.time()
+        datas = run_tearing_device_batch(
+            [p.problem for p in pws],
+            [p.tris for p in pws],
+            [p.tri_weights for p in pws],
+            [p.source_signs for p in pws],
+            [p.ref_coords for p in pws],
+            delaunay_penalties=[
+                float(p.optim["delaunay_penalty"]) for p in pws
+            ],
+            allowed_flip_fractions=[
+                (
+                    p.solver["lazy_allowed_flip_fraction"]
+                    if p.optim["lazy_constraints"]
+                    else 0.0
+                )
+                for p in pws
+            ],
+            hards=[bool(p.optim["hard_spatial_constraints"]) for p in pws],
+            eps_finals=[p.eps_solver for p in pws],
+            eps_scaling=float(solver0["tpu_eps_scaling"]),
+            max_cuts=solver0["lazy_max_cuts"],
+            max_cuts_per_round=solver0["lazy_max_cuts_per_incumbent"],
+            max_tear_rounds=solver0["tpu_max_tear_rounds"],
+            mesh=mesh,
+            prices0_list=[p.prices0 for p in pws],
+            deadline=deadline,
+        )
+        t_sep = _time.time() - t_sep0
+        if verbose:
+            print(
+                f"Sharded batch of {len(pws)} windows "
+                f"(bucket {key[0]}): separation {t_sep:.2f}s"
+            )
+        for i, pw, data in zip(idxs, pws, datas):
+            inc = incumbents_from_device_data(
+                pw.problem, len(pw.tris), data, verbose=False
+            )
+            res = _finish_solve(
+                pw.problem,
+                pw.pair_costs,
+                pw.tris,
+                pw.tri_weights,
+                pw.source_signs,
+                pw.ref_coords,
+                float(pw.optim["delaunay_penalty"]),
+                float(pw.optim["penalty_coeff"]),
+                bool(pw.optim["hard_spatial_constraints"]),
+                deadline,
+                inc,
+                data["cut_tris"],
+                data["cut_verts"],
+                data["cut_pairs"],
+                data["cuts_added"],
+                data["rounds_used"],
+                data["time_limit_reached"],
+                t_sep0,
+            )
+            pw.stage_times["solve"] = t_sep / max(len(pws), 1)
+            for k2 in ("separation_time", "repair_time", "incumbent_eval_time"):
+                if k2 in res.info:
+                    pw.stage_times[k2] = res.info[k2]
+            pw.stage_times["separation_time"] = t_sep / max(len(pws), 1)
+            results[i] = res
+    return results

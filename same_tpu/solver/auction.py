@@ -64,7 +64,8 @@ def _values(costs, slots, valid, nm_cost, prices):
 @functools.partial(jax.jit, static_argnames=("max_rounds", "max_polish"))
 def _auction_run(
     costs, slots, valid, nm_cost, prices0, eps_schedule, max_rounds,
-    max_polish=16, assigned0=None, owner0=None,
+    max_polish=64, assigned0=None, owner0=None,
+    slot_rows=None, slot_cols=None,
 ):
     """Fused auction: all epsilon phases + polish in ONE while_loop.
 
@@ -95,29 +96,142 @@ def _auction_run(
         eps = eps_schedule[jnp.minimum(phase, P - 1)]
 
         # --- Boundary step (first round of each phase only; lax.cond so the
-        # extra [n, C] evaluation is skipped on ordinary bidding rounds) ----
+        # extra [n, C] evaluation is skipped on ordinary bidding rounds).
+        # Release of eps-CS-violating holders + one REVERSE auction round
+        # (Bertsekas-Castanon asymmetric auction): each unowned slot finds
+        # its best person at their exclusive profit level and, if it can
+        # offer a strictly attractive price, takes that person directly.
+        # Pure forward auction with a reservation option either strands
+        # bidders behind coarse-phase price inflation (if unowned prices
+        # are kept) or re-climbs every price from zero in eps increments
+        # (the measured 10-20k-round pathology, if they are zeroed);
+        # executing the reverse swap advances augmenting chains one hop per
+        # boundary with no bidding war.
         def boundary_step(args):
-            assigned, owner, prices = args
+            assigned, owner, prices, _changed = args
             vals_all = _values(costs, slots, valid, nm_cost, prices)
-            best = vals_all.max(axis=1)
+            best0 = vals_all.max(axis=1)
             held_col = jnp.clip(assigned, 0, C)
             held_val = vals_all[bidder_ids, held_col]
             holds_slot = (assigned >= 0) & (assigned < NULL)
-            release = holds_slot & (held_val < best - eps)
+            release = holds_slot & (held_val < best0 - eps)
             released_slots = jnp.where(
                 release, slots[bidder_ids, jnp.clip(held_col, 0, C - 1)], S
             )
             assigned = jnp.where(release, -1, assigned)
             owner = owner.at[released_slots].set(-1, mode="drop")
             owner = owner.at[S].set(-1)
-            # Reverse pressure: unowned slots (including just-released ones
-            # whose prices reflect coarser-epsilon overbidding) go to price
-            # zero; without this, released bidders strand on no-match.
+            # Unsold objects must carry price zero (LP complementary
+            # slackness); without this, coarse-phase overbids leave prices
+            # stranding bidders on no-match.
             prices = jnp.where(owner < 0, 0.0, prices)
-            return assigned, owner, prices
+            prices = prices.at[S].set(0.0)
 
-        assigned, owner, prices = jax.lax.cond(
-            boundary, boundary_step, lambda args: args, (assigned, owner, prices)
+            if slot_rows is None:
+                return assigned, owner, prices, _changed
+
+            # Reverse auction rounds at the zeroed prices, drained to a
+            # fixed point: each unowned slot claims its best person
+            # directly at the attract price, skipping the forward re-climb
+            # war that zeroing alone causes (measured 10-20k bidding rounds
+            # per tearing re-solve). Draining lets augmenting chains
+            # resolve fully within one boundary — each claim frees the
+            # person's previous slot, which claims its own best person in
+            # the next iteration.
+            slot_ids = jnp.arange(S, dtype=jnp.int32)
+            i_sp = jnp.clip(slot_rows, 0, n - 1)
+            ref_mask = slot_rows >= 0
+
+            def reverse_once(carry):
+                assigned, owner, prices, any_win = carry
+                # Per-slot best person at exclusive profit pi_excl
+                # (second-best when the slot is the person's current best —
+                # else an overpriced slot reproduces its own price through
+                # its captive bidder and never deflates).
+                vals_all = _values(costs, slots, valid, nm_cost, prices)
+                top2b, top2bi = jax.lax.top_k(vals_all, 2)
+                best = top2b[:, 0]
+                best_col = top2bi[:, 0]
+                second = jnp.where(
+                    jnp.isfinite(top2b[:, 1]), top2b[:, 1], best
+                )
+                is_best_col = best_col[i_sp] == slot_cols
+                pi_excl = jnp.where(is_best_col, second[i_sp], best[i_sp])
+                surplus = jnp.where(
+                    ref_mask,
+                    -costs[i_sp, slot_cols] - pi_excl,
+                    -jnp.inf,
+                )
+                arg_p = jnp.argmax(surplus, axis=1)
+                ms = surplus[slot_ids, arg_p]              # [S] best surplus
+                person = slot_rows[slot_ids, arg_p]        # [S] (-1 if none)
+                pcol = slot_cols[slot_ids, arg_p]
+                unowned = owner[:S] < 0
+                # 2*eps margin keeps the person strictly outside its eps-CS
+                # band, so the swap actually executes instead of stalling.
+                p_new = jnp.maximum(ms - 2.0 * eps, 0.0)
+                eligible = unowned & (person >= 0) & (ms > 0.0)
+                person_c = jnp.clip(person, 0, n - 1)
+
+                # Person-side conflict resolution: highest surplus wins,
+                # smallest slot id breaks ties.
+                claim_tgt = jnp.where(eligible, person, n)
+                best_ms = jnp.full(n, -jnp.inf, ms.dtype).at[claim_tgt].max(
+                    jnp.where(eligible, ms, -jnp.inf), mode="drop"
+                )
+                cand = eligible & (best_ms[person_c] == ms)
+                slot_min = jnp.full(n, S, jnp.int32).at[
+                    jnp.where(cand, person, n)
+                ].min(slot_ids, mode="drop")
+                win = cand & (slot_min[person_c] == slot_ids)
+
+                # Execute the swaps: winner slots take their person; the
+                # person's old slot (if any) is freed at price zero.
+                new_col = jnp.full(n, -1, jnp.int32).at[
+                    jnp.where(win, person, n)
+                ].set(pcol, mode="drop")
+                got = new_col >= 0
+                still_holds = (assigned >= 0) & (assigned < NULL)
+                old_slot = jnp.where(
+                    got & still_holds,
+                    slots[bidder_ids, jnp.clip(assigned, 0, C - 1)],
+                    S,
+                )
+                owner = owner.at[old_slot].set(-1, mode="drop")
+                owner = owner.at[jnp.where(win, slot_ids, S)].set(
+                    jnp.where(win, person, -1).astype(jnp.int32), mode="drop"
+                )
+                assigned = jnp.where(got, new_col, assigned)
+                # Prices: claimed slots at their attract level; freed and
+                # unclaimed unowned slots at zero (unsold complementary
+                # slackness).
+                p_tail = prices[S:]
+                p_real = jnp.where(win, p_new, prices[:S])
+                prices = jnp.concatenate([p_real, p_tail])
+                prices = jnp.where(
+                    jnp.concatenate([~win, jnp.zeros(1, bool)]) & (owner < 0),
+                    0.0,
+                    prices,
+                )
+                prices = prices.at[S].set(0.0)
+                owner = owner.at[S].set(-1)
+                return assigned, owner, prices, any_win | jnp.any(win)
+
+            # Fixed unroll instead of an inner while_loop: a 4th nesting
+            # level of lax.while explodes XLA compile time on TPU (>15 min
+            # for the fused tearing loop). Chains longer than 4 hops
+            # resolve across subsequent polish boundaries.
+            carry = (assigned, owner, prices, jnp.bool_(False))
+            for _ in range(4):
+                carry = reverse_once(carry)
+            assigned, owner, prices, any_win = carry
+            return assigned, owner, prices, any_win
+
+        assigned, owner, prices, boundary_moved = jax.lax.cond(
+            boundary,
+            boundary_step,
+            lambda args: args,
+            (assigned, owner, prices, jnp.bool_(False)),
         )
 
         # --- One bidding round --------------------------------------------
@@ -157,7 +271,9 @@ def _auction_run(
         new_owner = new_owner.at[S].set(-1)
         newp = newp.at[S].set(0.0)
 
-        moved = jnp.any(new_assigned != assigned) | jnp.any(bids_slot)
+        moved = (
+            jnp.any(new_assigned != assigned) | jnp.any(bids_slot) | boundary_moved
+        )
         changed_in_phase = changed_in_phase | moved
 
         # --- Phase-transition logic on fixed point -------------------------
@@ -231,6 +347,35 @@ def default_eps_schedule(
     return make_eps_schedule(max(scale_candidates + [1.0]), eps_final, eps_scaling)
 
 
+def warm_eps_schedule(
+    eps_final: float, perturbation_scale: float, cost_scale: float,
+    scaling: float = 8.0,
+) -> np.ndarray:
+    """Epsilon schedule for a warm re-solve after a bounded cost perturbation.
+
+    After the tearing loop surcharges some pairs by ``perturbation_scale``
+    (delaunay_penalty * tri_weight), only the displaced holders re-bid — but
+    they must traverse value differences up to that scale. Restarting at
+    eps ~ perturbation/2 lets them cross it in a handful of bids instead of
+    thousands of eps_final-sized increments (the measured pathology: 10-30k
+    bidding rounds per tear round with a fixed [64x, 8x, 1x] schedule).
+    Capped at cost_scale/2 — a bidder never needs to out-bid more than the
+    full value range.
+    """
+    eps_final = max(float(eps_final), 1e-7)
+    eps0 = min(
+        max(float(perturbation_scale), eps_final * 64.0),
+        max(float(cost_scale) / 2.0, eps_final),
+    )
+    n_phases = max(
+        2, int(math.ceil(math.log(max(eps0 / eps_final, 1.0001)) / math.log(scaling))) + 1
+    )
+    eps = eps0 / (scaling ** np.arange(n_phases))
+    eps = np.maximum(eps, eps_final)
+    eps[-1] = eps_final
+    return eps.astype(np.float32)
+
+
 def solve_assignment(
     problem: AssignmentProblem,
     eps_final: float = 1e-2,
@@ -256,6 +401,15 @@ def solve_assignment(
     valid = jnp.asarray(problem.valid)
     nm = jnp.asarray(problem.nm_cost)
 
+    if eps_schedule is None and prices0 is not None:
+        # Warm-started solve: the given prices approximate the equilibrium,
+        # so the coarse epsilon phases (whose only job is to build prices
+        # fast) are skipped. Solution quality is unaffected — the optimality
+        # bound depends only on eps_final — and the boundary sweeps correct
+        # any over-pricing in the warm start.
+        eps_schedule = np.asarray(
+            [eps_final * 64, eps_final * 8, eps_final], np.float32
+        )
     if eps_schedule is None:
         finite = np.asarray(problem.costs)[np.asarray(problem.valid)]
         scale_candidates = [float(np.max(problem.nm_cost, initial=0.0))]
@@ -291,6 +445,8 @@ def solve_assignment(
         prices,
         jnp.asarray(eps_schedule),
         max_rounds=max_rounds,
+        slot_rows=jnp.asarray(problem.slot_rows),
+        slot_cols=jnp.asarray(problem.slot_cols),
     )
     if return_raw:
         # Device-resident result; caller handles (minimal) host transfers.

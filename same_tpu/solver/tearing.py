@@ -46,7 +46,7 @@ import numpy as np
 
 from ..models.assignment import AssignmentProblem, matching_objective
 from ..ops.orient import matched_triangle_flips
-from .auction import default_eps_schedule, solve_assignment
+from .auction import default_eps_schedule, solve_assignment, warm_eps_schedule
 
 _HARD_PENALTY = 1e7
 
@@ -157,11 +157,24 @@ def solve_with_tearing(
     max_cuts_per_round: int = 1000,
     max_tear_rounds: int = 25,
     eps_final: float = 1e-2,
+    eps_scaling: float = 4.0,
     hard: bool = False,
-    device_loop: bool = True,
+    device_loop="auto",
+    prices0: Optional[np.ndarray] = None,
+    deadline: Optional[float] = None,
     verbose: bool = False,
 ) -> TearingResult:
-    """Solve the matching problem with lazy orientation-cut separation."""
+    """Solve the matching problem with lazy orientation-cut separation.
+
+    ``prices0`` seeds the auction's slot prices (warm start,
+    warmstart.warm_start_prices). ``deadline`` is an absolute ``time.time()``
+    value: once passed, the loop stops and the best incumbent so far is
+    returned with ``info['time_limit_reached'] = True`` (reference
+    time_limit semantics, src/same.py:1245,1278).
+    """
+    import time as _time
+
+    t_sep_start = _time.time()
     n_pad, C = problem.costs.shape
     n = problem.n_aligned
     tris = np.asarray(tris, dtype=np.int64).reshape(-1, 3)
@@ -185,6 +198,8 @@ def solve_with_tearing(
         slots=jnp.asarray(problem.slots),
         valid=jnp.asarray(problem.valid),
         nm_cost=jnp.asarray(problem.nm_cost),
+        slot_rows=jnp.asarray(problem.slot_rows),
+        slot_cols=jnp.asarray(problem.slot_cols),
     )
     extra_dev = jnp.zeros((n_pad, C), dtype=problem.costs.dtype)
     extra_host = np.zeros((n_pad, C), dtype=problem.costs.dtype)
@@ -195,38 +210,16 @@ def solve_with_tearing(
     cut_verts_list: list[np.ndarray] = []
     cut_pairs_list: list[np.ndarray] = []
     cuts_added = 0
-    prices = None
+    prices = (
+        jnp.asarray(np.asarray(prices0, problem.costs.dtype))
+        if prices0 is not None
+        else None
+    )
+    time_limit_reached = False
 
     # Column lookup: for aligned vertex v and pair id p, the (first) column.
     def cols_for(v: int, p: int) -> np.ndarray:
         return np.flatnonzero(problem.pair_idx[v] == p)
-
-    def _cut_arrays():
-        if not cut_tris:
-            return None
-        return (
-            np.asarray(cut_tris),
-            np.asarray(cut_verts_list),
-            np.asarray(cut_pairs_list),
-        )
-
-    def true_objective(match_ref, match_pair):
-        matched_costs = np.zeros(n)
-        sel = match_pair >= 0
-        matched_costs[sel] = pair_costs[match_pair[sel]]
-        base = matching_objective(
-            match_ref, matched_costs, problem.n_ref, penalty_coeff,
-            np.asarray(problem.nm_cost[:n], np.float64),
-        )
-        # Tearing term: q_t = 1 for triangles with an active cut triple.
-        q_active = np.zeros(T, dtype=bool)
-        ca = _cut_arrays()
-        if ca is not None:
-            ct, cv, cp = ca
-            active = (match_pair[cv] == cp).all(axis=1)
-            q_active[ct[active]] = True
-        tear = float(delaunay_penalty) * float(tri_weights[q_active].sum()) if T else 0.0
-        return base, base + tear, q_active
 
     incumbents = []  # (match_ref, match_pair, flipped, checked, flip_frac, rounds)
     rounds_used = 0
@@ -235,20 +228,22 @@ def solve_with_tearing(
     # accelerator backend) or the problem is large; the host loop's
     # cold-restart incumbent stream searches better on small adversarial
     # instances where re-solves are cheap (CPU test path).
+    # ``device_loop``: "force" pins the fused loop (sharded path, benches),
+    # False pins the host loop, True/"auto" applies the heuristic.
+    force_device = device_loop == "force"
     use_device = (
-        device_loop
+        bool(device_loop)
         and T > 0
         and not _DEVICE_LOOP_DISABLED["flag"]
-        and (n >= 512 or jax.default_backend() != "cpu")
-        # Known TPU-runtime fault: the tearing metrics computation
-        # kernel-faults the worker when n_pad * (C + 1) exceeds ~120k
-        # (reproduced at [16384, 9] and [12288, 25]; the plain auction at the
-        # same shapes is fine). Until root-caused, larger problems run the
-        # host loop with host-side metrics. TODO(solver): bisect the
-        # miscompile and report upstream.
-        and n_pad * (C + 1) <= 120_000
+        and (force_device or n >= 512 or jax.default_backend() != "cpu")
+        # The round-1 ">120k elements" fault was root-caused to single XLA
+        # executions exceeding the tunneled-TPU worker watchdog (~60s): the
+        # per-solve bidding-round budget was mistakenly captured before its
+        # size-based clamp, so large problems ran up to 60k ~ms-scale rounds
+        # in one execution. run_tearing_device now budgets rounds by
+        # estimated execution time, so no shape guard is needed.
     )
-    safe_metrics = n_pad * (C + 1) > 120_000 and jax.default_backend() != "cpu"
+    safe_metrics = False
     if use_device:
         # Fused on-device separation loop: one transfer for all rounds
         # (tearing_device.py). Cut registry reconstructed for the exact
@@ -268,7 +263,10 @@ def solve_with_tearing(
                 max_cuts_per_round=max_cuts_per_round,
                 max_tear_rounds=max_tear_rounds,
                 eps_final=eps_final,
+                eps_scaling=eps_scaling,
                 hard=hard,
+                prices0=np.asarray(prices0) if prices0 is not None else None,
+                deadline=deadline,
             )
         except Exception as e:  # runtime fault -> host-loop fallback
             print(
@@ -282,41 +280,33 @@ def solve_with_tearing(
     if use_device:
         rounds_used = data["rounds_used"]
         cuts_added = data["cuts_added"]
+        time_limit_reached = bool(data.get("time_limit_reached", False))
         cut_tris.extend(data["cut_tris"])
         cut_verts_list.extend(data["cut_verts"])
         cut_pairs_list.extend(data["cut_pairs"])
-        rows_np = np.arange(n)
-        for rr in range(rounds_used):
-            choice = data["choices"][rr].astype(np.int64)[:n]
-            col = np.clip(choice, 0, C - 1)
-            is_match = choice < C
-            match_ref = np.where(
-                is_match, problem.cand_ref[rows_np, col], -1
-            ).astype(np.int64)
-            match_pair = np.where(
-                is_match, problem.pair_idx[rows_np, col], -1
-            ).astype(np.int64)
-            flipped = data["flipped"][rr][:T]
-            checked = data["checked"][rr][:T]
-            n_checked = int(checked.sum())
-            flip_frac = float(flipped.sum()) / n_checked if n_checked else 0.0
-            incumbents.append(
-                (match_ref, match_pair, flipped, checked, flip_frac,
-                 int(data["auction_rounds"][rr]))
-            )
-            if verbose:
-                print(
-                    f"  tear round {rr}: flips={int(flipped.sum())}/{n_checked}"
-                )
+        incumbents.extend(incumbents_from_device_data(problem, T, data, verbose))
     else:
         incumbents = []  # (match_ref, match_pair, flipped, checked, flip_frac, rounds)
         rounds_used = 0
-        schedule = default_eps_schedule(problem, eps_final)
+        # Warm-started solves skip the coarse price-building phases.
+        if prices is not None:
+            schedule = np.asarray(
+                [eps_final * 64, eps_final * 8, eps_final], np.float32
+            )
+        else:
+            schedule = default_eps_schedule(problem, eps_final, eps_scaling)
         pair_idx_dev = jnp.asarray(problem.pair_idx)
         cand_ref_dev = jnp.asarray(problem.cand_ref)
         last_rounds = 0
 
         for tear_round in range(max(1, max_tear_rounds)):
+            if (
+                deadline is not None
+                and tear_round > 0
+                and _time.time() > deadline
+            ):
+                time_limit_reached = True
+                break
             rounds_used = tear_round + 1
             raw = solve_assignment(
                 problem_dev,
@@ -327,10 +317,18 @@ def solve_with_tearing(
                 return_raw=True,
             )
             prices = raw.prices
-            # After the first full solve, restart phases from a short schedule —
-            # penalties only perturb a few pairs.
-            schedule = np.asarray(
-                [eps_final * 64, eps_final * 8, eps_final], np.float32
+            # After the first full solve, restart phases from a schedule
+            # sized to the cut surcharge — penalties only perturb a few
+            # pairs, but those holders must re-bid across the surcharge.
+            finite = problem.costs[problem.valid]
+            cost_scale = max(
+                float(np.max(problem.nm_cost, initial=0.0)),
+                float(finite.max() - finite.min()) if finite.size else 1.0,
+            )
+            schedule = warm_eps_schedule(
+                eps_final,
+                float(delaunay_penalty) * float(np.max(tri_weights, initial=1.0)),
+                cost_scale,
             )
 
             if safe_metrics:
@@ -485,9 +483,94 @@ def solve_with_tearing(
             ].add(jnp.asarray(delta_vals, extra_dev.dtype))
 
 
-    # The MIP objective of a matching depends on the final cut set (a triple
-    # separated in a later round still binds an earlier incumbent). Evaluate
-    # every incumbent under the final cuts and return the best.
+    return _finish_solve(
+        problem, pair_costs, tris, tri_weights, source_signs_np, ref_coords,
+        delaunay_penalty, penalty_coeff, hard, deadline,
+        incumbents, cut_tris, cut_verts_list, cut_pairs_list,
+        cuts_added, rounds_used, time_limit_reached, t_sep_start,
+    )
+
+
+def incumbents_from_device_data(problem, T, data, verbose=False):
+    """Decode run_tearing_device output into host incumbent tuples.
+
+    Each tuple is (match_ref, match_pair, flipped, checked, flip_frac,
+    auction_rounds) — the format _finish_solve consumes. Shared by the
+    single-window device path and the multi-window sharded path.
+    """
+    n = problem.n_aligned
+    C = problem.costs.shape[1]
+    rows_np = np.arange(n)
+    incumbents = []
+    for rr in range(data["rounds_used"]):
+        choice = data["choices"][rr].astype(np.int64)[:n]
+        col = np.clip(choice, 0, C - 1)
+        is_match = choice < C
+        match_ref = np.where(
+            is_match, problem.cand_ref[rows_np, col], -1
+        ).astype(np.int64)
+        match_pair = np.where(
+            is_match, problem.pair_idx[rows_np, col], -1
+        ).astype(np.int64)
+        flipped = data["flipped"][rr][:T]
+        checked = data["checked"][rr][:T]
+        n_checked = int(checked.sum())
+        flip_frac = float(flipped.sum()) / n_checked if n_checked else 0.0
+        incumbents.append(
+            (match_ref, match_pair, flipped, checked, flip_frac,
+             int(data["auction_rounds"][rr]))
+        )
+        if verbose:
+            print(f"  tear round {rr}: flips={int(flipped.sum())}/{n_checked}")
+    return incumbents
+
+
+def _finish_solve(
+    problem, pair_costs, tris, tri_weights, source_signs, ref_coords,
+    delaunay_penalty, penalty_coeff, hard, deadline,
+    incumbents, cut_tris, cut_verts_list, cut_pairs_list,
+    cuts_added, rounds_used, time_limit_reached, t_sep_start,
+) -> TearingResult:
+    """Incumbent evaluation under the final cut set + local repair + result.
+
+    The MIP objective of a matching depends on the final cut set (a triple
+    separated in a later round still binds an earlier incumbent), so every
+    incumbent is re-scored here with exact MIP semantics and the best one is
+    repaired and returned. Shared tail of the host loop, the single-window
+    device loop, and the sharded multi-window path.
+    """
+    import time as _time
+
+    t_sep_end = _time.time()
+    n = problem.n_aligned
+    T = len(tris)
+    tri_weights = np.asarray(tri_weights, dtype=np.float64)
+    source_signs = np.asarray(source_signs, dtype=np.int32)
+
+    cut_tris_arr = np.asarray(cut_tris) if cut_tris else None
+    cut_verts_arr = np.asarray(cut_verts_list) if cut_tris else None
+    cut_pairs_arr = np.asarray(cut_pairs_list) if cut_tris else None
+
+    def true_objective(match_ref, match_pair):
+        matched_costs = np.zeros(n)
+        sel = match_pair >= 0
+        matched_costs[sel] = pair_costs[match_pair[sel]]
+        base = matching_objective(
+            match_ref, matched_costs, problem.n_ref, penalty_coeff,
+            np.asarray(problem.nm_cost[:n], np.float64),
+        )
+        # Tearing term: q_t = 1 for triangles with an active cut triple.
+        q_active = np.zeros(T, dtype=bool)
+        if cut_tris_arr is not None:
+            active = (match_pair[cut_verts_arr] == cut_pairs_arr).all(axis=1)
+            q_active[cut_tris_arr[active]] = True
+        tear = (
+            float(delaunay_penalty) * float(tri_weights[q_active].sum())
+            if T
+            else 0.0
+        )
+        return base, base + tear, q_active
+
     best = None
     for match_ref, match_pair, flipped, checked, flip_frac, rounds in incumbents:
         base_obj, mip_obj, q_active = true_objective(match_ref, match_pair)
@@ -505,18 +588,29 @@ def solve_with_tearing(
     # entirely) that the cut-penalty loop cannot represent. Greedy 1-move
     # descent over the vertices involved in flips/cuts closes most of that gap.
     _obj0, match_ref, match_pair, rounds = best
+    t_eval_end = _time.time()
     if T and (delaunay_penalty > 0.0 or hard):
-        match_ref, match_pair = _local_repair(
-            problem, pair_costs, tris, tri_weights, source_signs_np,
-            np.asarray(ref_coords, np.float64), match_ref.copy(),
-            match_pair.copy(), cut_verts_list, true_objective, hard,
-        )
+        if deadline is not None and _time.time() > deadline:
+            # Repair work remains but the budget is spent: return the best
+            # incumbent, flagged (reference time_limit semantics).
+            time_limit_reached = True
+        else:
+            match_ref, match_pair, repair_timed_out = _local_repair(
+                problem, pair_costs, tris, tri_weights, source_signs,
+                np.asarray(ref_coords, np.float64), match_ref.copy(),
+                match_pair.copy(), cut_verts_list, true_objective, hard,
+                deadline=deadline,
+            )
+            time_limit_reached = time_limit_reached or repair_timed_out
+    t_repair_end = _time.time()
 
     base_obj, mip_obj, q_active = true_objective(match_ref, match_pair)
     if T:
+        tris_j = jnp.asarray(tris)
         checked_j, flipped_j = matched_triangle_flips(
-            ref_xy_j, tris_j, tri_mask_j,
-            jnp.asarray(match_ref.astype(np.int32)), src_j,
+            jnp.asarray(np.asarray(ref_coords, np.float32)), tris_j,
+            jnp.ones(T, bool), jnp.asarray(match_ref.astype(np.int32)),
+            jnp.asarray(source_signs),
         )
         checked = np.asarray(checked_j)[:T]
         flipped = np.asarray(flipped_j)[:T]
@@ -536,13 +630,20 @@ def solve_with_tearing(
         cuts_added=cuts_added,
         tear_rounds=rounds_used,
         q_active=q_active,
-        info={"rounds": rounds},
+        info={
+            "rounds": rounds,
+            "time_limit_reached": time_limit_reached,
+            "separation_time": t_sep_end - t_sep_start,
+            "incumbent_eval_time": t_eval_end - t_sep_end,
+            "repair_time": t_repair_end - t_eval_end,
+        },
     )
 
 
 def _local_repair(
     problem, pair_costs, tris, tri_weights, source_signs, ref_coords,
-    match_ref, match_pair, cut_verts_list, true_objective, hard, max_sweeps: int = 5,
+    match_ref, match_pair, cut_verts_list, true_objective, hard,
+    max_sweeps: int = 5, deadline=None,
 ):
     """Greedy exact-objective 1-move descent over flip/cut-involved vertices.
 
@@ -574,8 +675,14 @@ def _local_repair(
         out[ok] = (rs != 0) & (source_signs[ok] != 0) & (rs != source_signs[ok])
         return out
 
+    import time as _time
+
+    timed_out = False
     cur_obj = true_objective(match_ref, match_pair)[1]
     for _ in range(max_sweeps):
+        if deadline is not None and _time.time() > deadline:
+            timed_out = True
+            break
         flipped = flips_of(match_ref)
         cand_vertices = set(tris[flipped].ravel().tolist())
         for verts in cut_verts_list:
@@ -666,4 +773,4 @@ def _local_repair(
                 improved = True
         if not improved:
             break
-    return match_ref, match_pair
+    return match_ref, match_pair, timed_out

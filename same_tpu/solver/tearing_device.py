@@ -25,7 +25,7 @@ import numpy as np
 
 from ..models.assignment import AssignmentProblem
 from ..ops.orient import matched_triangle_flips
-from .auction import _auction_run, default_eps_schedule
+from .auction import _auction_run, default_eps_schedule, warm_eps_schedule
 
 _HARD_PENALTY = 1e7
 
@@ -34,17 +34,17 @@ _HARD_PENALTY = 1e7
     jax.jit,
     static_argnames=(
         "L", "K", "max_tear_rounds", "max_rounds", "max_cuts_per_round",
-        "max_cuts_total",
+        "max_cuts_total", "carry",
     ),
 )
 def _tearing_loop(
-    costs, slots, valid, nm, pair_idx, cand_ref,
+    costs, slots, valid, nm, pair_idx, cand_ref, slot_rows, slot_cols,
     tris, tri_mask, src, ref_xy, tri_weights,
     full_schedule, warm_schedule,
     delaunay_penalty, allowed_flip_fraction, hard,
     state, r_end,
     L: int, K: int, max_tear_rounds: int, max_rounds: int,
-    max_cuts_per_round: int, max_cuts_total: int,
+    max_cuts_per_round: int, max_cuts_total: int, carry: bool = True,
 ):
     """One chunk of tear rounds (state-in/state-out, device-resident).
 
@@ -67,13 +67,27 @@ def _tearing_loop(
         # stay local instead of re-fighting every previous bidding war. Every
         # 4th round restarts from a cold assignment (prices kept) — the
         # diversification role branch-and-bound's incumbent stream plays.
-        sched = jnp.where(r == 0, full_schedule, warm_schedule)
-        cold = (r % 4) == 0
-        assigned_in = jnp.where(cold, -1, assigned_c)
-        owner_in = jnp.where(cold, -1, owner_c)
+        # Cold restarts re-solve the whole problem, so they use the full
+        # coarse-to-fine schedule (its early phases converge in a handful of
+        # rounds); warm rounds use the surcharge-sized schedule.
+        if carry:
+            cold = (r % 4) == 0
+            sched = jnp.where(cold, full_schedule, warm_schedule)
+            assigned_in = jnp.where(cold, -1, assigned_c)
+            owner_in = jnp.where(cold, -1, owner_c)
+            prices_in = prices
+        else:
+            # Fresh solve of the surcharged problem each round: carried
+            # prices from earlier rounds embed surcharge-driven overbids
+            # that poison subsequent equilibria.
+            sched = full_schedule
+            assigned_in = jnp.full_like(assigned_c, -1)
+            owner_in = jnp.full_like(owner_c, -1)
+            prices_in = jnp.zeros_like(prices)
         res = _auction_run(
-            costs + extra, slots, valid, nm, prices, sched,
+            costs + extra, slots, valid, nm, prices_in, sched,
             max_rounds=max_rounds, assigned0=assigned_in, owner0=owner_in,
+            slot_rows=slot_rows, slot_cols=slot_cols,
         )
         choice = res.choice
         col = jnp.clip(choice, 0, C - 1)
@@ -161,7 +175,11 @@ def _tearing_loop(
         (_extra, _prices, _a, _o, r, _cuts, stop, *_rest) = state
         return (~stop) & (r < jnp.minimum(r_end, R))
 
-    return jax.lax.while_loop(cond, body, state)
+    # One guarded step per call: the callers drive tear rounds from the host
+    # (chunk=1), so an outer lax.while_loop here would execute its body once
+    # per invocation anyway — but nesting it around the auction's while_loop
+    # multiplies XLA compile time from seconds to tens of minutes on TPU.
+    return jax.lax.cond(cond(state), body, lambda s: s, state)
 
 
 def _init_state(n, C, T, K, R, prices0):
@@ -182,6 +200,17 @@ def _init_state(n, C, T, K, R, prices0):
     )
 
 
+def _registry_from_memory(tris, cut_mem, cut_cnt):
+    """Decode the per-triangle cut-dedup memory into registry lists."""
+    cut_tris, cut_verts, cut_pairs = [], [], []
+    for t in np.flatnonzero(cut_cnt > 0):
+        for k in range(int(cut_cnt[t])):
+            cut_tris.append(int(t))
+            cut_verts.append(np.asarray(tris[t]).copy())
+            cut_pairs.append(cut_mem[t, k].astype(np.int64))
+    return cut_tris, cut_verts, cut_pairs
+
+
 def run_tearing_device(
     problem: AssignmentProblem,
     tris: np.ndarray,
@@ -194,16 +223,24 @@ def run_tearing_device(
     max_cuts_per_round: int = 1000,
     max_tear_rounds: int = 25,
     eps_final: float = 1e-2,
+    eps_scaling: float = 4.0,
     hard: bool = False,
     max_rounds: int = 60000,
     K: int = 6,
+    prices0=None,
+    deadline=None,
+    carry: bool = True,
 ):
     """Run the fused device tearing loop; returns host-side round data.
 
     Returns a dict with per-round incumbents (choices [R_used, n_pad]),
     flipped/checked masks, auction round counts, and the reconstructed cut
-    registry (tri indices, vertex triples, pair triples).
+    registry (tri indices, vertex triples, pair triples). ``prices0`` seeds
+    slot prices (warm start); ``deadline`` (absolute time.time()) is checked
+    at chunk boundaries — the loop stops with whatever incumbents it has and
+    sets ``time_limit_reached`` in the result.
     """
+    import time as _time
     tris = np.asarray(tris, dtype=np.int64).reshape(-1, 3)
     T = len(tris)
     if T == 0:
@@ -211,13 +248,30 @@ def run_tearing_device(
     n_pad, C = problem.costs.shape
     L = int(problem.n_slot_copies)
 
-    full_sched = default_eps_schedule(problem, eps_final)
-    warm_sched = np.asarray([eps_final * 64, eps_final * 8, eps_final], np.float32)
-    if len(warm_sched) < len(full_sched):
-        warm_sched = np.concatenate(
-            [warm_sched, np.full(len(full_sched) - len(warm_sched), eps_final,
-                                 np.float32)]
-        )
+    # Re-solve schedule sized to the cut surcharge (see warm_eps_schedule).
+    finite = np.asarray(problem.costs)[np.asarray(problem.valid)]
+    cost_scale = max(
+        float(np.max(problem.nm_cost, initial=0.0)),
+        float(finite.max() - finite.min()) if finite.size else 1.0,
+    )
+    surcharge = float(delaunay_penalty) * float(np.max(tri_weights, initial=1.0))
+    warm_sched = warm_eps_schedule(eps_final, surcharge, cost_scale)
+    # A warm price start skips the coarse price-building phases on round 0.
+    full_sched = (
+        warm_sched.copy()
+        if prices0 is not None
+        else default_eps_schedule(problem, eps_final, eps_scaling)
+    )
+    pad_len = max(len(warm_sched), len(full_sched))
+    for name, s in (("warm", warm_sched), ("full", full_sched)):
+        if len(s) < pad_len:
+            padded = np.concatenate(
+                [s, np.full(pad_len - len(s), eps_final, np.float32)]
+            )
+            if name == "warm":
+                warm_sched = padded
+            else:
+                full_sched = padded
 
     costs_d = jnp.asarray(problem.costs)
     args = (
@@ -227,6 +281,8 @@ def run_tearing_device(
         jnp.asarray(problem.nm_cost),
         jnp.asarray(problem.pair_idx),
         jnp.asarray(problem.cand_ref),
+        jnp.asarray(problem.slot_rows),
+        jnp.asarray(problem.slot_cols),
         jnp.asarray(tris),
         jnp.ones(T, bool),
         jnp.asarray(np.asarray(source_signs, np.int32)),
@@ -240,6 +296,22 @@ def run_tearing_device(
         ),
         jnp.bool_(hard),
     )
+    # Chunked execution: one tear round per device call keeps each XLA
+    # execution under runtime watchdog limits (long single executions can
+    # kill tunneled TPU workers); all state stays on device between chunks.
+    # The per-solve auction-round budget targets ~15s per execution using the
+    # measured per-round cost model (~0.1ms dispatch + ~12ps/element on the
+    # [n_pad, C] tensors); a capped solve resumes seamlessly next round via
+    # the warm-carried assignments/prices.
+    per_round_s = 1e-4 + n_pad * C * 1.2e-8
+    # Round budget per re-solve: the auction with reverse-drain boundaries
+    # reaches its optimality band in O(n_pad)-ish rounds and then churns
+    # within the eps tolerance without tripping the fixed-point test, so a
+    # budget cap IS the effective termination on contested instances. Also
+    # bounded by the watchdog-safe execution time.
+    max_rounds = max(
+        1024, min(max_rounds, n_pad // 2, int(15.0 / per_round_s))
+    )
     kwargs = dict(
         L=L,
         K=K,
@@ -247,20 +319,16 @@ def run_tearing_device(
         max_rounds=max_rounds,
         max_cuts_per_round=int(max_cuts_per_round),
         max_cuts_total=int(max_cuts) if max_cuts is not None else 1 << 30,
+        carry=carry,
     )
-    # Chunked execution: a few tear rounds per device call keeps each XLA
-    # execution under runtime watchdog limits; state never leaves the device.
-    # Both the chunk size and the per-solve auction-round budget shrink with
-    # problem size so one execution stays ~10-20s; capped solves resume
-    # seamlessly next round thanks to warm-carried assignments/prices.
-    work_per_round = n_pad * C
-    max_rounds = max(4000, min(max_rounds, int(1.2e9 / max(1, work_per_round))))
     chunk = 1
-    state = _init_state(
-        n_pad, C, T, K, max_tear_rounds,
-        jnp.zeros(problem.n_slots + 1, costs_d.dtype),
-    )
+    if prices0 is not None:
+        prices_init = jnp.asarray(np.asarray(prices0, problem.costs.dtype))
+    else:
+        prices_init = jnp.zeros(problem.n_slots + 1, costs_d.dtype)
+    state = _init_state(n_pad, C, T, K, max_tear_rounds, prices_init)
     r_host = 0
+    time_limit_reached = False
     while r_host < max_tear_rounds:
         state = _tearing_loop(
             *args, state, jnp.int32(r_host + chunk), **kwargs
@@ -274,6 +342,9 @@ def run_tearing_device(
         r_host = int(state[4])
         if bool(state[6]) or r_host >= max_tear_rounds:
             break
+        if deadline is not None and _time.time() > deadline:
+            time_limit_reached = True
+            break
 
     # Single bulk transfer of everything else the host needs.
     r = r_host
@@ -284,16 +355,12 @@ def run_tearing_device(
     )
 
     # Reconstruct the cut registry from per-triangle memory.
-    cut_tris, cut_verts, cut_pairs = [], [], []
-    for t in np.flatnonzero(cut_cnt > 0):
-        for k in range(int(cut_cnt[t])):
-            cut_tris.append(int(t))
-            cut_verts.append(tris[t].copy())
-            cut_pairs.append(cut_mem[t, k].astype(np.int64))
+    cut_tris, cut_verts, cut_pairs = _registry_from_memory(tris, cut_mem, cut_cnt)
 
     return {
         "rounds_used": r,
         "cuts_added": int(cuts_added),
+        "time_limit_reached": time_limit_reached,
         "choices": all_choices[:r],
         "flipped": all_flipped[:r],
         "checked": all_checked[:r],
@@ -302,3 +369,259 @@ def run_tearing_device(
         "cut_verts": cut_verts,
         "cut_pairs": cut_pairs,
     }
+
+
+def _round_up(x: int, step: int) -> int:
+    return ((max(x, 1) + step - 1) // step) * step
+
+
+def run_tearing_device_batch(
+    problems,
+    tris_list,
+    tri_weights_list,
+    source_signs_list,
+    ref_coords_list,
+    *,
+    delaunay_penalties,
+    allowed_flip_fractions,
+    hards,
+    eps_finals,
+    eps_scaling: float = 4.0,
+    max_cuts=None,
+    max_cuts_per_round: int = 1000,
+    max_tear_rounds: int = 25,
+    max_rounds: int = 60000,
+    K: int = 6,
+    mesh=None,
+    prices0_list=None,
+    deadline=None,
+):
+    """Batched fused tearing loop over a window batch, sharded over ``mesh``.
+
+    The multi-chip analog of the reference's sequential window loop
+    (reference src/same.py:507-593): every window runs the FULL solve —
+    auction re-solves, flip tests, cut registration — as one vmapped
+    ``_tearing_loop`` whose batch axis is laid out over the device mesh.
+    All problems must share (n_pad, C, S, L) — the caller groups windows by
+    shape bucket. Triangle arrays are padded to a common T with
+    ``source_signs = 0`` rows, which the orientation test already treats as
+    unchecked. Returns a per-window list of dicts in the
+    ``run_tearing_device`` format.
+    """
+    import time as _time
+
+    B = len(problems)
+    if B == 0:
+        return []
+    n_pad, C = problems[0].costs.shape
+    S = problems[0].n_slots
+    L = int(problems[0].n_slot_copies)
+    for p in problems:
+        if p.costs.shape != (n_pad, C) or p.n_slots != S or p.n_slot_copies != L:
+            raise ValueError("run_tearing_device_batch: mixed shape buckets")
+
+    T_pad = _round_up(max(len(t) for t in tris_list), 128)
+    R_ref = max(len(r) for r in ref_coords_list)
+
+    def pad_tri(a, fill, dtype):
+        a = np.asarray(a, dtype=dtype)
+        out = np.full((T_pad,) + a.shape[1:], fill, dtype=dtype)
+        out[: len(a)] = a
+        return out
+
+    tris_b = np.stack([pad_tri(t.reshape(-1, 3), 0, np.int64) for t in tris_list])
+    tri_mask_b = np.stack(
+        [np.arange(T_pad) < len(t) for t in tris_list]
+    )
+    src_b = np.stack([pad_tri(s, 0, np.int32) for s in source_signs_list])
+    tw_b = np.stack([pad_tri(w, 0.0, np.float32) for w in tri_weights_list])
+    ref_b = np.zeros((B, R_ref, 2), np.float32)
+    for b, rc in enumerate(ref_coords_list):
+        ref_b[b, : len(rc)] = np.asarray(rc, np.float32)
+
+    costs_b = np.stack([p.costs for p in problems])
+    slots_b = np.stack([p.slots for p in problems])
+    valid_b = np.stack([p.valid for p in problems])
+    nm_b = np.stack([p.nm_cost for p in problems])
+    pair_idx_b = np.stack([p.pair_idx for p in problems])
+    cand_ref_b = np.stack([p.cand_ref for p in problems])
+    # Slot-major maps may have different P across the batch; pad to max.
+    P_max = max(p.slot_rows.shape[1] for p in problems)
+
+    def pad_P(a, fill):
+        out = np.full((a.shape[0], P_max), fill, a.dtype)
+        out[:, : a.shape[1]] = a
+        return out
+
+    slot_rows_b = np.stack([pad_P(p.slot_rows, -1) for p in problems])
+    slot_cols_b = np.stack([pad_P(p.slot_cols, 0) for p in problems])
+
+    # Per-window epsilon schedules (warm-start windows skip coarse phases;
+    # re-solve schedules sized to each window's cut surcharge).
+    scheds, warms = [], []
+    for b, p in enumerate(problems):
+        ef = float(eps_finals[b])
+        finite = np.asarray(p.costs)[np.asarray(p.valid)]
+        cost_scale = max(
+            float(np.max(p.nm_cost, initial=0.0)),
+            float(finite.max() - finite.min()) if finite.size else 1.0,
+        )
+        surcharge = float(delaunay_penalties[b]) * float(
+            np.max(tri_weights_list[b], initial=1.0)
+        )
+        warm = warm_eps_schedule(ef, surcharge, cost_scale)
+        if prices0_list is not None and prices0_list[b] is not None:
+            full = warm.copy()
+        else:
+            full = default_eps_schedule(p, ef, eps_scaling)
+        scheds.append(full)
+        warms.append(warm)
+    LEN = max(len(s) for s in scheds + warms)
+
+    def pad_sched(s):
+        return np.concatenate(
+            [s, np.full(LEN - len(s), s[-1], np.float32)]
+        ) if len(s) < LEN else s
+
+    sched_b = np.stack([pad_sched(s) for s in scheds])
+    warm_b = np.stack([pad_sched(w) for w in warms])
+
+    dp_b = np.asarray(delaunay_penalties, np.float32)
+    aff_b = np.asarray(
+        [(-1.0 if a is None else float(a)) for a in allowed_flip_fractions],
+        np.float32,
+    )
+    hard_b = np.asarray(hards, bool)
+    prices_b = np.zeros((B, S + 1), costs_b.dtype)
+    if prices0_list is not None:
+        for b, pr in enumerate(prices0_list):
+            if pr is not None:
+                prices_b[b] = np.asarray(pr, costs_b.dtype)
+
+    # Time-aware per-execution budget (see run_tearing_device); the batch
+    # runs windows in lockstep, so the per-round cost scales with the local
+    # per-device batch size.
+    n_local = max(
+        1,
+        (B + (0 if mesh is None else -B % int(
+            np.prod([mesh.shape[a] for a in mesh.axis_names])
+        ))) // (1 if mesh is None else int(
+            np.prod([mesh.shape[a] for a in mesh.axis_names])
+        )),
+    )
+    per_round_s = 1e-4 + n_local * n_pad * C * 1.2e-8
+    max_rounds = max(
+        1024, min(max_rounds, n_pad // 2, int(15.0 / per_round_s))
+    )
+    kwargs = dict(
+        L=L,
+        K=K,
+        max_tear_rounds=max_tear_rounds,
+        max_rounds=max_rounds,
+        max_cuts_per_round=int(max_cuts_per_round),
+        max_cuts_total=int(max_cuts) if max_cuts is not None else 1 << 30,
+    )
+
+    def one(costs, slots, valid, nm, pair_idx, cand_ref, slot_rows, slot_cols,
+            tris, tri_mask, src, ref_xy, tw, sched, warm, dp, aff, hard,
+            state, r_end):
+        return _tearing_loop(
+            costs, slots, valid, nm, pair_idx, cand_ref, slot_rows, slot_cols,
+            tris, tri_mask, src, ref_xy, tw, sched, warm, dp, aff, hard,
+            state, r_end, **kwargs
+        )
+
+    batched = jax.jit(jax.vmap(one, in_axes=(0,) * 19 + (None,)))
+
+    # Pad the batch to a multiple of the mesh size with copies of the last
+    # window; padded lanes are discarded on return.
+    pad = 0
+    arrays = [
+        costs_b, slots_b, valid_b, nm_b, pair_idx_b, cand_ref_b,
+        slot_rows_b, slot_cols_b, tris_b,
+        tri_mask_b, src_b, ref_b, tw_b, sched_b, warm_b, dp_b, aff_b, hard_b,
+    ]
+    if mesh is not None:
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        pad = (-B) % n_dev
+        if pad:
+            arrays = [
+                np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+                for a in arrays
+            ]
+            prices_b = np.concatenate(
+                [prices_b, np.repeat(prices_b[-1:], pad, axis=0)]
+            )
+    B_pad = B + pad
+
+    # Stacked device state (mirrors _init_state, batch axis first).
+    state = (
+        jnp.zeros((B_pad, n_pad, C), costs_b.dtype),
+        jnp.asarray(prices_b),
+        jnp.full((B_pad, n_pad), -1, jnp.int32),
+        jnp.full((B_pad, S + 1), -1, jnp.int32),
+        jnp.zeros(B_pad, jnp.int32),
+        jnp.zeros(B_pad, jnp.int32),
+        jnp.zeros(B_pad, bool),
+        jnp.full((B_pad, T_pad, K, 3), -2, jnp.int32),
+        jnp.zeros((B_pad, T_pad), jnp.int32),
+        jnp.full((B_pad, max_tear_rounds, n_pad), C, jnp.int32),
+        jnp.zeros((B_pad, max_tear_rounds, T_pad), bool),
+        jnp.zeros((B_pad, max_tear_rounds, T_pad), bool),
+        jnp.zeros((B_pad, max_tear_rounds), jnp.int32),
+    )
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        sh = NamedSharding(mesh, P(axis))
+        args_dev = [jax.device_put(jnp.asarray(a), sh) for a in arrays]
+        state = jax.tree.map(lambda x: jax.device_put(x, sh), state)
+    else:
+        args_dev = [jnp.asarray(a) for a in arrays]
+
+    chunk = 1
+    r_host = 0
+    time_limit_reached = [False] * B
+    while r_host < max_tear_rounds:
+        state = batched(*args_dev, state, jnp.int32(r_host + chunk))
+        # Re-materialize carried buffers (see run_tearing_device).
+        state = jax.tree.map(jnp.copy, state)
+        r_host += chunk
+        stops = np.asarray(state[6])
+        if bool(stops[:B].all()) or r_host >= max_tear_rounds:
+            break
+        if deadline is not None and _time.time() > deadline:
+            time_limit_reached = [not bool(s) for s in stops[:B]]
+            break
+
+    (cuts_added_b, cut_mem_b, cut_cnt_b, choices_b, flipped_b, checked_b,
+     rounds_b, r_b) = jax.device_get(
+        (state[5], state[7], state[8], state[9], state[10], state[11],
+         state[12], state[4])
+    )
+
+    out = []
+    for b in range(B):
+        r = int(r_b[b])
+        T = len(tris_list[b])
+        cut_tris, cut_verts, cut_pairs = _registry_from_memory(
+            np.asarray(tris_list[b]).reshape(-1, 3),
+            cut_mem_b[b][:T], cut_cnt_b[b][:T],
+        )
+        out.append(
+            {
+                "rounds_used": r,
+                "cuts_added": int(cuts_added_b[b]),
+                "time_limit_reached": bool(time_limit_reached[b]),
+                "choices": choices_b[b][:r],
+                "flipped": flipped_b[b][:r, :T],
+                "checked": checked_b[b][:r, :T],
+                "auction_rounds": rounds_b[b][:r],
+                "cut_tris": cut_tris,
+                "cut_verts": cut_verts,
+                "cut_pairs": cut_pairs,
+            }
+        )
+    return out

@@ -265,6 +265,68 @@ def create_full_benchmark(seed: int = 8899):
     return ref_df, query_df, quadrants, ground_truth_df, expression
 
 
+def check_triangle_violations_within_quadrants(matches_df, mc_align):
+    """Flag triangle flips, counting only triangles internal to a quadrant.
+
+    Vectorized re-implementation of the reference evaluation helper
+    (reference src/synthetic_datagen.py:1314-1418): for every Delaunay
+    triangle of the aligned metacells whose three vertices (a) lie in the
+    same quadrant and (b) are all matched, compare the signed area at the
+    matched reference positions against the query positions; a sign flip
+    marks all three nodes. Cross-quadrant triangles are ignored — the
+    benchmark's quadrant boundaries are intentional discontinuities.
+
+    Returns a copy of ``matches_df`` with the ``triangle_violation`` column
+    replaced by the quadrant-local verdicts.
+    """
+    simplices = np.asarray(mc_align.metacell_delaunay, dtype=np.int64).reshape(-1, 3)
+    metacell_df = mc_align.metacell_df
+
+    if "Aligned_metacell_id" in matches_df.columns:
+        aligned_mc = matches_df["Aligned_metacell_id"].to_numpy()
+    else:
+        aligned_mc = matches_df["aligned_idx"].to_numpy()
+
+    n_mc = len(metacell_df)
+    quad = pd.factorize(metacell_df["quadrant"])[0]
+
+    # metacell_id -> row in matches_df (-1 when unmatched).
+    mc_to_row = np.full(n_mc, -1, dtype=np.int64)
+    valid_ids = (aligned_mc >= 0) & (aligned_mc < n_mc)
+    mc_to_row[aligned_mc[valid_ids]] = np.flatnonzero(valid_ids)
+
+    tri_ok = (simplices >= 0).all(axis=1) & (simplices < n_mc).all(axis=1)
+    tris = simplices[tri_ok]
+    same_quad = (quad[tris[:, 0]] == quad[tris[:, 1]]) & (
+        quad[tris[:, 1]] == quad[tris[:, 2]]
+    )
+    rows = mc_to_row[tris]
+    all_matched = (rows >= 0).all(axis=1)
+    use = same_quad & all_matched
+    rows = rows[use]
+
+    qx = matches_df["X"].to_numpy()
+    qy = matches_df["Y"].to_numpy()
+    rx = matches_df["ref_X"].to_numpy()
+    ry = matches_df["ref_Y"].to_numpy()
+
+    def signed_area(xs, ys):
+        return 0.5 * (
+            (xs[:, 1] - xs[:, 0]) * (ys[:, 2] - ys[:, 0])
+            - (xs[:, 2] - xs[:, 0]) * (ys[:, 1] - ys[:, 0])
+        )
+
+    area_q = signed_area(qx[rows], qy[rows])
+    area_r = signed_area(rx[rows], ry[rows])
+    flipped = area_q * area_r < 0
+
+    violations = np.zeros(len(matches_df), dtype=bool)
+    violations[rows[flipped].ravel()] = True
+    out = matches_df.copy()
+    out["triangle_violation"] = violations
+    return out
+
+
 def simulate_expression(classes, rng, n_genes: int = 100):
     """Class-structured positive expression matrix (3 gene blocks)."""
     classes = np.asarray(classes)

@@ -38,9 +38,7 @@ def init_solver_params(**overrides) -> Dict[str, Any]:
     ---------------
     tpu_eps_scaling : float — epsilon divisor between auction phases.
     tpu_eps_final : float — final epsilon (absolute, cost units).
-    tpu_max_rounds_per_phase : int — bidding-round cap per epsilon phase.
     tpu_max_tear_rounds : int — outer separation-loop cap.
-    tpu_use_pallas : bool — use Pallas kernels where available.
     """
     params: Dict[str, Any] = {
         # Core solve controls (parity with reference)
@@ -58,12 +56,18 @@ def init_solver_params(**overrides) -> Dict[str, Any]:
         "lazy_max_cuts": None,
         "lazy_allowed_flip_fraction": 0.05,
         "lazy_max_cuts_per_incumbent": 1000,
-        # TPU auction solver knobs
+        # TPU auction solver knobs. tpu_eps_final is an absolute floor on the
+        # final auction epsilon; the effective epsilon is scaled to the
+        # problem via mip_gap (core.prepare_window), so this floor only
+        # guards against degenerate zero-cost instances. It must sit below
+        # the smallest meaningful cost difference (the 0.001-weighted
+        # coordinate tie-break term, reference src/same.py:1183-1189).
         "tpu_eps_scaling": 4.0,
-        "tpu_eps_final": 1e-2,
-        "tpu_max_rounds_per_phase": 20000,
+        "tpu_eps_final": 1e-7,
         "tpu_max_tear_rounds": 25,
-        "tpu_use_pallas": True,
+        # "auto": fused device loop on accelerators / large problems, host
+        # separation loop otherwise. "force": always fused. False: never.
+        "tpu_device_loop": "auto",
     }
     params.update(overrides)
     return params

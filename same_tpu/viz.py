@@ -105,6 +105,162 @@ def visualize_triangulation(
     return fig
 
 
+def visualize_benchmark_v2(ref_df, query_df, figsize=(12, 6)):
+    """Two-panel benchmark overview with quadrant annotations.
+
+    Counterpart of reference src/synthetic_datagen.py:768-1011: reference
+    and query side by side, quadrant names printed at each quadrant's
+    centroid, cell classes colored consistently.
+    """
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 2, figsize=figsize)
+    for ax, df, title in [
+        (axes[0], ref_df, "reference / template"),
+        (axes[1], query_df, "query / moving"),
+    ]:
+        colors, lookup = _colors_for(df["cell_type"])
+        ax.scatter(df["X"], df["Y"], c=colors, s=10)
+        if "quadrant" in df.columns:
+            for name, sub in df.groupby("quadrant"):
+                ax.annotate(
+                    name,
+                    (sub["X"].mean(), sub["Y"].mean()),
+                    ha="center", fontsize=11, fontweight="bold", alpha=0.7,
+                )
+        ax.set_title(title)
+        ax.set_aspect("equal")
+    handles = [
+        plt.Line2D([], [], marker="o", ls="", color=c, label=t)
+        for t, c in lookup.items()
+    ]
+    axes[1].legend(handles=handles, loc="upper right", fontsize=8)
+    fig.tight_layout()
+    return fig
+
+
+def visualize_space_tearing(
+    quadrants, q_name="bottom_right", min_angle_deg=10, figsize=(12, 6)
+):
+    """Before/after view of the space-fold quadrant with flipped triangles.
+
+    Counterpart of reference src/synthetic_datagen.py:1014-1169: the
+    reference-side triangulation, the same triangles drawn at the query
+    (folded) positions, and sign-flipped triangles filled red.
+    """
+    import matplotlib.pyplot as plt
+
+    from .geometry import delaunay_simplices, filter_triangles_by_radius
+
+    q = quadrants[q_name]
+    ref_pts = np.asarray(q["ref_points"], float)
+    qry_pts = np.asarray(q["query_points"], float)
+    gt = np.asarray(q["ground_truth"], int)
+
+    tris = delaunay_simplices(ref_pts)
+    tris = np.asarray(
+        filter_triangles_by_radius(
+            ref_pts, tris, radius=1e9, min_angle_deg=min_angle_deg,
+            verbose=False,
+        )
+    ).reshape(-1, 3)
+
+    # Triangle flips: ref triangle vs its image under the ground-truth map.
+    inv = np.full(len(ref_pts), -1, int)
+    ok = gt >= 0
+    inv[gt[ok]] = np.flatnonzero(ok)
+    mapped = inv[tris]
+    tri_ok = (mapped >= 0).all(axis=1)
+
+    def areas(pts, t):
+        a, b, c = pts[t[:, 0]], pts[t[:, 1]], pts[t[:, 2]]
+        return (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (
+            b[:, 1] - a[:, 1]
+        ) * (c[:, 0] - a[:, 0])
+
+    flipped = np.zeros(len(tris), bool)
+    flipped[tri_ok] = (
+        areas(ref_pts, tris[tri_ok]) * areas(qry_pts, mapped[tri_ok]) < 0
+    )
+
+    fig, axes = plt.subplots(1, 2, figsize=figsize)
+    axes[0].triplot(ref_pts[:, 0], ref_pts[:, 1], tris, color="gray", lw=0.5)
+    axes[0].set_title(f"{q_name}: reference triangulation")
+    axes[1].triplot(
+        qry_pts[:, 0], qry_pts[:, 1], mapped[tri_ok], color="gray", lw=0.5
+    )
+    for tri in mapped[flipped[: len(mapped)] & tri_ok]:
+        axes[1].fill(qry_pts[tri, 0], qry_pts[tri, 1], color="crimson", alpha=0.6)
+    axes[1].set_title(
+        f"query (folded): {int(flipped.sum())} flipped triangles"
+    )
+    for ax in axes:
+        ax.set_aspect("equal")
+    fig.tight_layout()
+    return fig
+
+
+def visualize_topological_merger(quadrants, q_name="bottom_left", figsize=(12, 6)):
+    """Topological-split quadrant: one structure vs its split image.
+
+    Counterpart of reference src/synthetic_datagen.py:1172-1239.
+    """
+    import matplotlib.pyplot as plt
+
+    q = quadrants[q_name]
+    fig, axes = plt.subplots(1, 2, figsize=figsize)
+    for ax, pts, cls, title in [
+        (axes[0], q["ref_points"], q["ref_classes"], "reference"),
+        (axes[1], q["query_points"], q["query_classes"], "query (split)"),
+    ]:
+        pts = np.asarray(pts, float)
+        colors, _ = _colors_for([f"c{c + 1}" for c in np.asarray(cls)])
+        ax.scatter(pts[:, 0], pts[:, 1], c=colors, s=14)
+        ax.set_title(f"{q_name}: {title}")
+        ax.set_aspect("equal")
+    fig.tight_layout()
+    return fig
+
+
+def print_statistics(ref_df, query_df, quadrants=None):
+    """Per-quadrant / per-class composition table (reference :1242-1311)."""
+    print(f"Reference cells: {len(ref_df)}; query cells: {len(query_df)}")
+    for label, df in [("reference", ref_df), ("query", query_df)]:
+        if "quadrant" in df.columns:
+            counts = (
+                df.groupby(["quadrant", "cell_type"]).size().unstack(fill_value=0)
+            )
+            print(f"\n{label} composition (rows=quadrant):")
+            print(counts.to_string())
+    if quadrants:
+        print("\nquadrant scenarios:")
+        for name, q in quadrants.items():
+            gt = np.asarray(q["ground_truth"])
+            print(
+                f"  {name}: {len(q['query_points'])} query / "
+                f"{len(q['ref_points'])} ref, "
+                f"{int((gt >= 0).sum())} ground-truth pairs"
+            )
+
+
+def plot_quadrant_summary(per_quadrant_df, figsize=(9, 4)):
+    """Fig-2-style panel: per-quadrant accuracy and violation bars."""
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 2, figsize=figsize, sharex=True)
+    x = np.arange(len(per_quadrant_df))
+    axes[0].bar(x, per_quadrant_df["accuracy"], color="#5B8DEF")
+    axes[0].set_title("ground-truth accuracy")
+    axes[0].set_ylim(0, 1.02)
+    axes[1].bar(x, per_quadrant_df["violation_frac"], color="#E4572E")
+    axes[1].set_title("triangle-violation fraction")
+    for ax in axes:
+        ax.set_xticks(x)
+        ax.set_xticklabels(per_quadrant_df["quadrant"], rotation=30, ha="right")
+    fig.tight_layout()
+    return fig
+
+
 def plot_window_grid(matches_df, figsize=(7, 7)):
     """Scatter of matches colored by window_id (sliding-window diagnostics)."""
     import matplotlib.pyplot as plt

@@ -11,11 +11,11 @@ Reproduces the reference behaviors:
   maximum-cardinality bipartite matching so each aligned and ref ID appears
   at most once.
 
-Multi-chip execution: windows are embarrassingly parallel. When a
-``jax.sharding.Mesh`` is supplied (or via ``parallel.solve_windows_sharded``)
-window problems are padded to shape buckets and fanned out across devices;
-this module keeps the sequential host path as the reference-compatible
-default.
+Multi-chip execution: windows are embarrassingly parallel. Passing
+``mesh=`` to ``sliding_window_matching`` prepares every window on host,
+fans the device solves (full tearing separation) out across the mesh via
+``parallel.solve_windows_sharded``, then finalizes windows in grid order so
+outputs are identical to the sequential path.
 """
 
 from __future__ import annotations
@@ -80,6 +80,83 @@ def get_unprocessed_windows(
     return set(all_windows.keys()) - processed_coords, existing
 
 
+def _collect_window_tasks(
+    ref, moving, x_windows, y_windows, window_size, overlap, min_cells,
+    windows_to_process, x_min, x_max, y_min, y_max, verbose,
+):
+    """Walk the window grid and emit solvable window tasks.
+
+    Replicates the reference's traversal exactly (src/same.py:507-593):
+    undersized windows merge right then down (consuming the next i or j),
+    and each emitted task carries its central-crop bounds. Both the
+    sequential and the mesh-sharded execution paths consume this list, so
+    their window decomposition is identical by construction.
+    """
+    tasks = []
+    i = 0
+    while i < len(x_windows):
+        j = 0
+        while j < len(y_windows):
+            if windows_to_process is not None and (i, j) not in windows_to_process:
+                j += 1
+                continue
+            x = x_windows[i]
+            y = y_windows[j]
+            x_w_min, x_w_max = x, x + window_size
+            y_w_min, y_w_max = y, y + window_size
+
+            ref_sub = subset_data(ref, x_w_min, x_w_max, y_w_min, y_w_max)
+            mov_sub = subset_data(moving, x_w_min, x_w_max, y_w_min, y_w_max)
+
+            # Merge undersized windows right, then down (:527-542).
+            if len(ref_sub) < min_cells or len(mov_sub) < min_cells:
+                if i + 1 < len(x_windows):
+                    x_w_max = x_windows[i + 1] + window_size
+                    ref_sub = subset_data(ref, x_w_min, x_w_max, y_w_min, y_w_max)
+                    mov_sub = subset_data(moving, x_w_min, x_w_max, y_w_min, y_w_max)
+                    if len(ref_sub) >= min_cells and len(mov_sub) >= min_cells:
+                        i += 1
+                if (len(ref_sub) < min_cells or len(mov_sub) < min_cells) and (
+                    j + 1 < len(y_windows)
+                ):
+                    y_w_max = y_windows[j + 1] + window_size
+                    ref_sub = subset_data(ref, x_w_min, x_w_max, y_w_min, y_w_max)
+                    mov_sub = subset_data(moving, x_w_min, x_w_max, y_w_min, y_w_max)
+                    if len(ref_sub) >= min_cells and len(mov_sub) >= min_cells:
+                        j += 1
+
+            if verbose:
+                print(
+                    f"Window at ({x}, {y}) - Ref cells: {len(ref_sub)}, "
+                    f"Moving cells: {len(mov_sub)}"
+                )
+
+            if len(ref_sub) >= min_cells and len(mov_sub) >= min_cells:
+                window_id = len(x_windows) * j + i
+                # Central crop of half the overlap, except at edges (:564-582).
+                is_left = x == int(x_min)
+                is_right = x_w_max >= int(x_max)
+                is_top = y == int(y_min)
+                is_bottom = y_w_max >= int(y_max)
+                crop = (
+                    x_w_min if is_left else x_w_min + overlap / 2,
+                    x_w_max if is_right else x_w_max - overlap / 2,
+                    y_w_min if is_top else y_w_min + overlap / 2,
+                    y_w_max if is_bottom else y_w_max - overlap / 2,
+                )
+                tasks.append(
+                    {
+                        "window_id": window_id,
+                        "ref_sub": ref_sub,
+                        "mov_sub": mov_sub,
+                        "crop": crop,
+                    }
+                )
+            j += 1
+        i += 1
+    return tasks
+
+
 def sliding_window_matching(
     ref,
     moving,
@@ -91,13 +168,17 @@ def sliding_window_matching(
     gurobi_params: Optional[Dict[str, Any]] = None,
     solver_params: Optional[Dict[str, Any]] = None,
     ignore_precomputed_triangulation: bool = False,
+    mesh=None,
     verbose: bool = True,
 ):
     """Match cells between datasets window by window; returns merged matches.
 
     See module docstring; the signature and semantics mirror the reference
     (src/same.py:297-595) with ``solver_params`` as the TPU-era alias for
-    ``gurobi_params``.
+    ``gurobi_params``. Passing a ``jax.sharding.Mesh`` as ``mesh`` fans the
+    per-window device solves out across its devices (the framework's primary
+    parallel axis); outputs are identical to the sequential path's window
+    decomposition by construction.
     """
     ref_cell_type_col = "cell_type"
     moving_cell_type_col = "cell_type"
@@ -192,89 +273,78 @@ def sliding_window_matching(
         if existing is not None:
             all_matches.append(existing)
 
-    i = 0
-    while i < len(x_windows):
-        j = 0
-        while j < len(y_windows):
-            if windows_to_process is not None and (i, j) not in windows_to_process:
-                j += 1
-                continue
-            x = x_windows[i]
-            y = y_windows[j]
-            x_w_min, x_w_max = x, x + window_size
-            y_w_min, y_w_max = y, y + window_size
+    tasks = _collect_window_tasks(
+        ref, moving, x_windows, y_windows, window_size, overlap, min_cells,
+        windows_to_process, x_min, x_max, y_min, y_max, verbose,
+    )
 
-            ref_sub = subset_data(ref, x_w_min, x_w_max, y_w_min, y_w_max)
-            mov_sub = subset_data(moving, x_w_min, x_w_max, y_w_min, y_w_max)
-
-            # Merge undersized windows right, then down (:527-542).
-            if len(ref_sub) < min_cells or len(mov_sub) < min_cells:
-                if i + 1 < len(x_windows):
-                    x_w_max = x_windows[i + 1] + window_size
-                    ref_sub = subset_data(ref, x_w_min, x_w_max, y_w_min, y_w_max)
-                    mov_sub = subset_data(moving, x_w_min, x_w_max, y_w_min, y_w_max)
-                    if len(ref_sub) >= min_cells and len(mov_sub) >= min_cells:
-                        i += 1
-                if (len(ref_sub) < min_cells or len(mov_sub) < min_cells) and (
-                    j + 1 < len(y_windows)
-                ):
-                    y_w_max = y_windows[j + 1] + window_size
-                    ref_sub = subset_data(ref, x_w_min, x_w_max, y_w_min, y_w_max)
-                    mov_sub = subset_data(moving, x_w_min, x_w_max, y_w_min, y_w_max)
-                    if len(ref_sub) >= min_cells and len(mov_sub) >= min_cells:
-                        j += 1
-
-            if verbose:
-                print(
-                    f"Window at ({x}, {y}) - Ref cells: {len(ref_sub)}, "
-                    f"Moving cells: {len(mov_sub)}"
+    def _crop_and_record(task, window_matches):
+        if window_matches.shape[0] == 0:
+            return
+        x_lo, x_hi, y_lo, y_hi = task["crop"]
+        central = window_matches[
+            (window_matches["X"] >= x_lo)
+            & (window_matches["X"] < x_hi)
+            & (window_matches["Y"] >= y_lo)
+            & (window_matches["Y"] < y_hi)
+        ].copy()
+        central["window_id"] = task["window_id"]
+        if len(central) > 0:
+            all_matches.append(central)
+            if outprefix:
+                pd.concat(all_matches, ignore_index=True).to_csv(
+                    output_file, index=False
                 )
 
-            if len(ref_sub) >= min_cells and len(mov_sub) >= min_cells:
-                window_id = len(x_windows) * j + i
-                window_outprefix = (
-                    os.path.join(outprefix, f"window_{window_id}")
-                    if outprefix
-                    else None
-                )
-                window_matches, _var_out = run_same(
-                    aligned_df=mov_sub,
-                    ref_df=ref_sub,
-                    commonCT=commonCT,
-                    optim_params=optim,
-                    solver_params=solver,
-                    outprefix=window_outprefix,
-                    aligned_delaunay=moving_delaunay,
-                    aligned_delaunay_vertex_col=moving_delaunay_vertex_col,
-                    ignore_precomputed_triangulation=ignore_precomputed_triangulation,
-                    verbose=verbose,
-                )
-                if window_matches.shape[0] > 0:
-                    # Central crop of half the overlap, except at edges
-                    # (:564-582).
-                    is_left = x == int(x_min)
-                    is_right = x_w_max >= int(x_max)
-                    is_top = y == int(y_min)
-                    is_bottom = y_w_max >= int(y_max)
-                    x_lo = x_w_min if is_left else x_w_min + overlap / 2
-                    x_hi = x_w_max if is_right else x_w_max - overlap / 2
-                    y_lo = y_w_min if is_top else y_w_min + overlap / 2
-                    y_hi = y_w_max if is_bottom else y_w_max - overlap / 2
-                    central = window_matches[
-                        (window_matches["X"] >= x_lo)
-                        & (window_matches["X"] < x_hi)
-                        & (window_matches["Y"] >= y_lo)
-                        & (window_matches["Y"] < y_hi)
-                    ].copy()
-                    central["window_id"] = window_id
-                    if len(central) > 0:
-                        all_matches.append(central)
-                        if outprefix:
-                            pd.concat(all_matches, ignore_index=True).to_csv(
-                                output_file, index=False
-                            )
-            j += 1
-        i += 1
+    def _window_outprefix(task):
+        return (
+            os.path.join(outprefix, f"window_{task['window_id']}")
+            if outprefix
+            else None
+        )
+
+    if mesh is None:
+        for task in tasks:
+            window_matches, _var_out = run_same(
+                aligned_df=task["mov_sub"],
+                ref_df=task["ref_sub"],
+                commonCT=commonCT,
+                optim_params=optim,
+                solver_params=solver,
+                outprefix=_window_outprefix(task),
+                aligned_delaunay=moving_delaunay,
+                aligned_delaunay_vertex_col=moving_delaunay_vertex_col,
+                ignore_precomputed_triangulation=ignore_precomputed_triangulation,
+                verbose=verbose,
+            )
+            _crop_and_record(task, window_matches)
+    else:
+        # Multi-chip path: host preprocessing per window, then the batched
+        # device solve (full tearing separation) sharded over the mesh, then
+        # per-window finalization in grid order (identical outputs).
+        from .core import finalize_window, prepare_window
+        from .parallel import solve_windows_sharded
+
+        prepared = [
+            prepare_window(
+                task["ref_sub"],
+                task["mov_sub"],
+                commonCT,
+                aligned_delaunay=moving_delaunay,
+                aligned_delaunay_vertex_col=moving_delaunay_vertex_col,
+                optim_params=optim,
+                solver_params=solver,
+                ignore_precomputed_triangulation=ignore_precomputed_triangulation,
+                verbose=verbose,
+            )
+            for task in tasks
+        ]
+        results = solve_windows_sharded(prepared, mesh=mesh, verbose=verbose)
+        for task, pw, res in zip(tasks, prepared, results):
+            window_matches, _var_out = finalize_window(
+                pw, res, outprefix=_window_outprefix(task), verbose=verbose
+            )
+            _crop_and_record(task, window_matches)
 
     return (
         pd.concat(all_matches, ignore_index=True) if all_matches else pd.DataFrame()

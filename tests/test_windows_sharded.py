@@ -1,0 +1,114 @@
+"""Multi-chip window sharding: full-solve parity with the sequential path.
+
+The mesh path of ``sliding_window_matching`` must decompose the grid
+identically to the sequential path (shared task collector) and produce the
+same matches after ``merge_window_matches_unique_ref`` (SURVEY §2.4 row 1;
+reference src/same.py:507-593 is the sequential loop being parallelized).
+Both paths are pinned to the fused device tearing loop so the per-window
+computation is identical; the only difference is batching + sharding.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from same_tpu import merge_window_matches_unique_ref, sliding_window_matching
+from same_tpu.parallel import make_mesh, solve_windows_sharded
+from same_tpu.core import prepare_window, solve_prepared
+
+
+def _tissue(rng, n_side=26, fold=True):
+    """A labeled grid spanning several windows, with a local fold to force
+    orientation flips in at least one window."""
+    g = (
+        np.stack(np.meshgrid(np.arange(n_side), np.arange(n_side)), -1)
+        .reshape(-1, 2)
+        .astype(float)
+    )
+    types = ((g[:, 0] // 3 + g[:, 1] // 3) % 3).astype(int)
+
+    def mk(coords):
+        df = pd.DataFrame(coords, columns=["X", "Y"])
+        for c in range(3):
+            df[f"ct{c}"] = 100.0 * (types == c)
+        df["cell_type"] = [f"ct{t}" for t in types]
+        df["Cell_Num_Old"] = np.arange(len(df))
+        return df
+
+    ref = mk(g + rng.normal(0, 0.07, g.shape))
+    qry = g + rng.normal(0, 0.07, g.shape)
+    if fold:
+        # Swap three nearby pairs in one corner: guaranteed flips there.
+        for a, b in [(0, 1), (n_side, n_side + 1), (2 * n_side, 2 * n_side + 1)]:
+            qry[[a, b]] = qry[[b, a]]
+    return ref, mk(qry), [f"ct{c}" for c in range(3)]
+
+
+OPTIM = dict(
+    window_size=12, overlap=4, min_cells_per_window=10, radius=2.5, knn=5,
+    delaunay_penalty=5, no_match_penalty=100,
+)
+SOLVER = dict(tpu_device_loop="force", tpu_auto_warm_start=True)
+
+
+def test_sharded_equals_sequential(rng):
+    ref, qry, commonCT = _tissue(rng)
+    seq = sliding_window_matching(
+        ref, qry, commonCT, optim_params=dict(OPTIM),
+        solver_params=dict(SOLVER), verbose=False,
+    )
+    mesh = make_mesh(8)
+    shd = sliding_window_matching(
+        ref, qry, commonCT, optim_params=dict(OPTIM),
+        solver_params=dict(SOLVER), mesh=mesh, verbose=False,
+    )
+    assert len(seq) > 0
+    # Same window decomposition.
+    assert sorted(seq["window_id"].unique()) == sorted(shd["window_id"].unique())
+
+    m_seq = merge_window_matches_unique_ref([seq])
+    m_shd = merge_window_matches_unique_ref([shd])
+
+    pairs_seq = set(zip(m_seq["Aligned_Cell_Num_Old"], m_seq["Ref_Cell_Num_Old"]))
+    pairs_shd = set(zip(m_shd["Aligned_Cell_Num_Old"], m_shd["Ref_Cell_Num_Old"]))
+    # The per-window computation is the same fused loop; batching may
+    # reassociate float reductions, so allow a sliver of divergence.
+    inter = len(pairs_seq & pairs_shd)
+    denom = max(len(pairs_seq), len(pairs_shd), 1)
+    assert inter / denom >= 0.99, (
+        f"sharded/sequential agreement {inter}/{denom}"
+    )
+
+
+def test_solve_windows_sharded_matches_solo(rng):
+    """Each window's sharded result equals its solo device-loop result."""
+    ref, qry, commonCT = _tissue(rng, n_side=14, fold=True)
+    pws = [
+        prepare_window(
+            ref, qry, commonCT,
+            optim_params=dict(radius=2.5, knn=5, delaunay_penalty=5,
+                              no_match_penalty=100),
+            solver_params=dict(SOLVER),
+            verbose=False,
+        )
+        for _ in range(3)
+    ]
+    mesh = make_mesh(8)
+    batch_results = solve_windows_sharded(pws, mesh=mesh, verbose=False)
+    solo = solve_prepared(pws[0], verbose=False)
+    for res in batch_results:
+        assert res.objective == pytest.approx(solo.objective, rel=1e-5)
+        assert int(res.flipped.sum()) == int(solo.flipped.sum())
+
+
+def test_sharded_no_mesh_runs(rng):
+    """solve_windows_sharded without a mesh still runs (local batch)."""
+    ref, qry, commonCT = _tissue(rng, n_side=10, fold=False)
+    pw = prepare_window(
+        ref, qry, commonCT,
+        optim_params=dict(radius=2.5, knn=4, delaunay_penalty=5,
+                          no_match_penalty=100),
+        verbose=False,
+    )
+    (res,) = solve_windows_sharded([pw], mesh=None, verbose=False)
+    assert (res.match_ref >= 0).sum() > 0
