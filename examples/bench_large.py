@@ -1,11 +1,6 @@
 #!/usr/bin/env python
 """LUAD33-scale benchmark: ~100k+~94k cells, MS=3 metacells, windowed solve.
 
-Default window_size is 8000 (vs the reference's 13000): smaller windows keep
-per-window tensors inside shapes proven safe on the current TPU runtime (see
-ARCHITECTURE.md known issues); totals remain comparable since the metric is
-whole-tissue solve time.
-
 Mirrors the reference's headline scale case (examples/luad/run_same.sh:
 window=13000, overlap=250, radius=250, knn=8, MS=3, dp sweep). The reference
 reports total Gurobi solve times of 0.5 / 1.8 / 608.9 minutes at
@@ -66,7 +61,8 @@ def main():
     ap.add_argument("--cells", type=int, default=100000)
     ap.add_argument("--extent", type=float, default=26000)
     ap.add_argument("--ms", type=int, default=3)
-    ap.add_argument("--window", type=int, default=8000)
+    ap.add_argument("--window", type=int, default=13000)
+    ap.add_argument("--mesh", type=int, default=None)
     args = ap.parse_args()
 
     from same_tpu import greedy_triangle_collapse, sliding_window_matching
@@ -89,6 +85,11 @@ def main():
         f"({prep:.0f}s prep)", file=sys.stderr,
     )
 
+    mesh = None
+    if args.mesh:
+        from same_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh)
     t1 = time.time()
     matches = sliding_window_matching(
         mc_ref, mc_align,
@@ -99,6 +100,7 @@ def main():
             cell_id_col="metacell_id", ref_metacell_match_multiplier=args.ms,
         ),
         solver_params=dict(mip_gap=0.05, lazy_allowed_flip_fraction=0.05),
+        mesh=mesh,
         verbose=False,
     )
     solve_min = (time.time() - t1) / 60.0

@@ -595,11 +595,18 @@ def _finish_solve(
             # incumbent, flagged (reference time_limit semantics).
             time_limit_reached = True
         else:
-            match_ref, match_pair, repair_timed_out = _local_repair(
+            from .repair import local_repair
+
+            cut_arrays = (
+                (cut_tris_arr, cut_verts_arr, cut_pairs_arr)
+                if cut_tris_arr is not None
+                else None
+            )
+            match_ref, match_pair, repair_timed_out = local_repair(
                 problem, pair_costs, tris, tri_weights, source_signs,
                 np.asarray(ref_coords, np.float64), match_ref.copy(),
-                match_pair.copy(), cut_verts_list, true_objective, hard,
-                deadline=deadline,
+                match_pair.copy(), cut_arrays, delaunay_penalty,
+                penalty_coeff, hard, deadline=deadline,
             )
             time_limit_reached = time_limit_reached or repair_timed_out
     t_repair_end = _time.time()
@@ -638,139 +645,3 @@ def _finish_solve(
             "repair_time": t_repair_end - t_eval_end,
         },
     )
-
-
-def _local_repair(
-    problem, pair_costs, tris, tri_weights, source_signs, ref_coords,
-    match_ref, match_pair, cut_verts_list, true_objective, hard,
-    max_sweeps: int = 5, deadline=None,
-):
-    """Greedy exact-objective 1-move descent over flip/cut-involved vertices.
-
-    Move set per vertex: each of its candidate pairs (respecting hard ref
-    capacities) and no-match. Accepts any strictly improving move; sweeps
-    until stable. In ``hard`` mode a move creating a flip is rejected.
-    """
-    n = problem.n_aligned
-    C = problem.costs.shape[1]
-    ref_limits_used = np.bincount(
-        match_ref[match_ref >= 0], minlength=problem.n_ref
-    )
-    slot_ref = problem.slot_ref
-    # Hard per-ref limits from the slot expansion.
-    # slot_ref carries -1 entries for shape-bucket padding slots.
-    limits = np.bincount(slot_ref[slot_ref >= 0], minlength=problem.n_ref)
-
-    def flips_of(mr):
-        ok = np.all(mr[tris] >= 0, axis=1)
-        if not ok.any():
-            return np.zeros(len(tris), bool)
-        sub = tris[ok]
-        p = ref_coords[np.clip(mr[sub], 0, len(ref_coords) - 1)]
-        cross = (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1]) - (
-            p[:, 1, 1] - p[:, 0, 1]
-        ) * (p[:, 2, 0] - p[:, 0, 0])
-        rs = np.sign(cross)
-        out = np.zeros(len(tris), bool)
-        out[ok] = (rs != 0) & (source_signs[ok] != 0) & (rs != source_signs[ok])
-        return out
-
-    import time as _time
-
-    timed_out = False
-    cur_obj = true_objective(match_ref, match_pair)[1]
-    for _ in range(max_sweeps):
-        if deadline is not None and _time.time() > deadline:
-            timed_out = True
-            break
-        flipped = flips_of(match_ref)
-        cand_vertices = set(tris[flipped].ravel().tolist())
-        for verts in cut_verts_list:
-            cand_vertices.update(int(v) for v in verts)
-        if not cand_vertices:
-            break
-        improved = False
-        for v in sorted(cand_vertices):
-            cur_pair = match_pair[v]
-            cur_ref = match_ref[v]
-            options = [(-1, -1)]  # no-match
-            for c in np.flatnonzero(problem.valid[v]):
-                p = int(problem.pair_idx[v, c])
-                j = int(problem.cand_ref[v, c])
-                if p == cur_pair:
-                    continue
-                if j != cur_ref and ref_limits_used[j] >= limits[j]:
-                    continue
-                options.append((p, j))
-            best_delta = -1e-9
-            best_move = None
-            incident = np.any(tris == v, axis=1)
-            for p, j in options:
-                if p == cur_pair:
-                    continue
-                match_pair[v], match_ref[v] = p, j
-                obj = true_objective(match_ref, match_pair)[1]
-                if hard and p >= 0 and flips_of(match_ref)[incident].any():
-                    obj = np.inf
-                delta = obj - cur_obj
-                if delta < best_delta:
-                    best_delta = delta
-                    best_move = (p, j)
-                match_pair[v], match_ref[v] = cur_pair, cur_ref
-            if best_move is not None:
-                p, j = best_move
-                if cur_ref >= 0:
-                    ref_limits_used[cur_ref] -= 1
-                if j >= 0:
-                    ref_limits_used[j] += 1
-                match_pair[v], match_ref[v] = p, j
-                cur_obj = true_objective(match_ref, match_pair)[1]
-                improved = True
-
-        # Compound move: re-match an unmatched vertex and simultaneously
-        # unmatch one neighbor whose absence disables the would-be flipped
-        # triangles — the MIP's favourite escape (an orientation check only
-        # applies to fully matched triangles).
-        for v in sorted(cand_vertices):
-            if match_ref[v] >= 0:
-                continue
-            incident = np.flatnonzero(np.any(tris == v, axis=1))
-            best_delta = -1e-9
-            best_compound = None
-            for c in np.flatnonzero(problem.valid[v]):
-                p = int(problem.pair_idx[v, c])
-                j = int(problem.cand_ref[v, c])
-                if ref_limits_used[j] >= limits[j]:
-                    continue
-                match_pair[v], match_ref[v] = p, j
-                fl = flips_of(match_ref)
-                new_flips = incident[fl[incident]]
-                neighbors = set()
-                for t in new_flips:
-                    for w in tris[t]:
-                        if w != v and match_ref[w] >= 0:
-                            neighbors.add(int(w))
-                for w in neighbors:
-                    wp, wj = match_pair[w], match_ref[w]
-                    match_pair[w], match_ref[w] = -1, -1
-                    obj = true_objective(match_ref, match_pair)[1]
-                    if hard and flips_of(match_ref).any():
-                        obj = np.inf
-                    delta = obj - cur_obj
-                    if delta < best_delta:
-                        best_delta = delta
-                        best_compound = (p, j, w, wp, wj)
-                    match_pair[w], match_ref[w] = wp, wj
-                match_pair[v], match_ref[v] = -1, -1
-            if best_compound is not None:
-                p, j, w, _wp, wj = best_compound
-                match_pair[v], match_ref[v] = p, j
-                match_pair[w], match_ref[w] = -1, -1
-                ref_limits_used[j] += 1
-                if wj >= 0:
-                    ref_limits_used[wj] -= 1
-                cur_obj = true_objective(match_ref, match_pair)[1]
-                improved = True
-        if not improved:
-            break
-    return match_ref, match_pair, timed_out

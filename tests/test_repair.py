@@ -1,0 +1,129 @@
+"""Incremental repair accounting vs full objective recomputation."""
+
+import numpy as np
+import pytest
+
+from same_tpu.models.assignment import build_assignment_problem, matching_objective
+from same_tpu.solver.repair import _RepairState, local_repair
+
+
+def _instance(rng, n=60):
+    pts = rng.uniform(0, 12, (n, 2))
+    ref = pts + rng.normal(0, 0.4, pts.shape)
+    pairs, costs = [], []
+    for i in range(n):
+        d = np.abs(ref - pts[i]).sum(1)
+        for j in np.argsort(d)[:5]:
+            pairs.append((i, int(j)))
+            costs.append(float(d[j]) + rng.uniform(0, 3))
+    pairs, costs = np.asarray(pairs), np.asarray(costs)
+    nm = np.full(n, 20.0)
+    pb = build_assignment_problem(pairs, costs, n, n, np.ones(n, np.int64), 50.0, nm)
+
+    from same_tpu.geometry import delaunay_simplices, orientation_signs_np
+
+    tris = delaunay_simplices(pts)
+    src = orientation_signs_np(pts, tris)
+    w = 3.0 * np.ones(len(tris))
+    return pb, pairs, costs, tris, w, src, ref, nm
+
+
+def _full_objective(pb, costs, tris, w, ref, nm, mr, mp, cuts, dp=7.0, pc=50.0):
+    n = pb.n_aligned
+    mc = np.zeros(n)
+    sel = mp >= 0
+    mc[sel] = costs[mp[sel]]
+    base = matching_objective(mr, mc, pb.n_ref, pc, nm)
+    T = len(tris)
+    q = np.zeros(T, bool)
+    if cuts is not None:
+        ct, cv, cp = cuts
+        active = (mp[cv] == cp).all(axis=1)
+        q[ct[active]] = True
+    return base + dp * w[q].sum()
+
+
+def test_delta_matches_full_recompute(rng):
+    pb, pairs, costs, tris, w, src, ref, nm = _instance(rng)
+    n = pb.n_aligned
+    # Random feasible matching.
+    mr = np.full(n, -1, np.int64)
+    mp = np.full(n, -1, np.int64)
+    used = set()
+    for i in rng.permutation(n):
+        cols = np.flatnonzero(pb.valid[i])
+        rng.shuffle(cols)
+        for c in cols:
+            j = int(pb.cand_ref[i, c])
+            if j not in used and rng.random() < 0.8:
+                used.add(j)
+                mr[i] = j
+                mp[i] = int(pb.pair_idx[i, c])
+                break
+    # Random cut registry over matched triples.
+    ct, cv, cp = [], [], []
+    for t, tri in enumerate(tris):
+        if (mr[tri] >= 0).all() and rng.random() < 0.4:
+            ct.append(t)
+            cv.append(tri.copy())
+            cp.append(mp[tri].copy())
+    cuts = (np.asarray(ct), np.asarray(cv), np.asarray(cp)) if ct else None
+
+    st = _RepairState(
+        pb, costs, tris, w, src, ref, mr.copy(), mp.copy(), cuts, 7.0, 50.0
+    )
+    assert st.obj == pytest.approx(
+        _full_objective(pb, costs, tris, w, ref, nm, mr, mp, cuts)
+    )
+
+    # Random move sequence: every delta must equal the full recompute diff.
+    for _ in range(200):
+        v = int(rng.integers(n))
+        cols = np.flatnonzero(pb.valid[v])
+        if rng.random() < 0.3:
+            p_new, j_new = -1, -1
+        else:
+            c = int(rng.choice(cols))
+            p_new, j_new = int(pb.pair_idx[v, c]), int(pb.cand_ref[v, c])
+            if not st.capacity_ok(v, j_new):
+                continue
+        before = st.obj
+        st.apply(v, p_new, j_new)
+        full = _full_objective(
+            pb, costs, tris, w, ref, nm, st.match_ref, st.match_pair, cuts
+        )
+        assert st.obj == pytest.approx(full, abs=1e-6), (
+            f"incremental {st.obj} vs full {full} after move "
+            f"({v} -> {p_new}/{j_new}, before {before})"
+        )
+
+
+def test_local_repair_improves_and_stays_feasible(rng):
+    pb, pairs, costs, tris, w, src, ref, nm = _instance(rng)
+    n = pb.n_aligned
+    # Solve properly, then perturb: unmatch the vertices of a few triangles
+    # and register cuts on others, giving the repair real work.
+    from same_tpu.solver.auction import solve_assignment
+
+    mr, mp, _ = solve_assignment(pb, eps_final=1e-3)
+    ct, cv, cp = [], [], []
+    for t, tri in enumerate(tris[: len(tris) // 2]):
+        if (mr[tri] >= 0).all():
+            ct.append(t)
+            cv.append(tri.copy())
+            cp.append(mp[tri].copy())
+    cuts = (np.asarray(ct), np.asarray(cv), np.asarray(cp))
+    # Unmatch some cut vertices so repair has improving moves available.
+    for v in np.unique(np.asarray(cv))[::3]:
+        mr[v], mp[v] = -1, -1
+    obj0 = _full_objective(pb, costs, tris, w, ref, nm, mr, mp, cuts)
+    mr2, mp2, timed_out = local_repair(
+        pb, costs, tris, w, src, ref, mr.copy(), mp.copy(), cuts, 7.0, 50.0,
+        False,
+    )
+    obj1 = _full_objective(pb, costs, tris, w, ref, nm, mr2, mp2, cuts)
+    assert not timed_out
+    assert obj1 < obj0
+    # Capacity feasibility.
+    u = np.bincount(mr2[mr2 >= 0], minlength=pb.n_ref)
+    assert (u <= 1).all()
