@@ -33,7 +33,7 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 import numpy as np
 import pandas as pd
@@ -436,6 +436,14 @@ def prepare_window(
             verbose=verbose,
         )
         method_used = "hungarian"
+    elif init_method == "sinkhorn":
+        # Entropic-OT dual prices as the warm start (ops/sinkhorn.py): the
+        # regularized transport problem's column potentials approximate the
+        # assignment equilibrium prices directly.
+        from .ops.sinkhorn import sinkhorn_prices
+
+        chosen, unmatched, method_used = [], set(), "sinkhorn"
+        prices0 = np.asarray(sinkhorn_prices(problem))
     elif init_method == "greedy" or (
         init_method is None and solver.get("tpu_auto_warm_start", True)
     ):
@@ -443,12 +451,13 @@ def prepare_window(
         method_used = "greedy" if init_method == "greedy" else "greedy-auto"
     elif init_method:
         raise ValueError(
-            f"Unknown init_method={init_method!r}. Use 'greedy' or 'hungarian'."
+            f"Unknown init_method={init_method!r}. "
+            "Use 'greedy', 'hungarian', or 'sinkhorn'."
         )
     else:
         chosen, unmatched, method_used = [], set(), None
     if method_used is not None:
-        if chosen:
+        if chosen and prices0 is None:
             prices0 = warm_start_prices(problem, chosen)
         warm_info = {
             "method": method_used,

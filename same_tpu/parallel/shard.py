@@ -25,7 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.assignment import AssignmentProblem
-from ..solver.auction import SCHEDULE_LEN, _auction_run, make_eps_schedule
+from ..solver.auction import _auction_run, make_eps_schedule
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "windows") -> Mesh:

@@ -46,7 +46,7 @@ COMMON = dict(radius=3.0, knn=6, delaunay_penalty=5, no_match_penalty=100)
 def test_warm_start_wired_into_run_same(rng):
     ref, qry, commonCT = _grid_dataset(rng)
     out = {}
-    for method in (None, "greedy", "hungarian"):
+    for method in (None, "greedy", "hungarian", "sinkhorn"):
         matches, var_out = run_same(
             ref, qry, commonCT,
             optim_params=dict(COMMON),
@@ -60,11 +60,13 @@ def test_warm_start_wired_into_run_same(rng):
             assert wi["method"] == "greedy-auto"
         else:
             assert wi["method"] == method
-        assert wi["n_seeded"] > 0
+        if method != "sinkhorn":
+            assert wi["n_seeded"] > 0
     # Same final objective (warm start must not change the solution quality).
     objs = {m: v[1]["tpu"]["objective"] for m, v in out.items()}
     assert objs["greedy"] == pytest.approx(objs[None], rel=0.02)
     assert objs["hungarian"] == pytest.approx(objs[None], rel=0.02)
+    assert objs["sinkhorn"] == pytest.approx(objs[None], rel=0.02)
 
 
 def test_warm_start_reduces_auction_rounds(rng):
