@@ -36,7 +36,12 @@ def radius_knn(
     if backend is None:
         backend = os.environ.get("SAME_TPU_KNN", "")
     if not backend:
-        backend = "tpu" if n * len(ref_xy) > 64_000_000 else "host"
+        # Host cKDTree queries are C-vectorized and handle 100k-point
+        # windows in well under a second; the device brute-force tiles only
+        # win when the deployment has real host<->device bandwidth (force
+        # with SAME_TPU_KNN=tpu), so the automatic cutover is set far above
+        # any window the sliding grid produces.
+        backend = "tpu" if n * len(ref_xy) > 4_000_000_000 else "host"
 
     if backend == "tpu":
         from .ops.pairwise import radius_knn_tpu

@@ -404,9 +404,14 @@ def prepare_window(
         )
         * 2e-6,
     )
+    # Size epsilon from the rigorous lower bound; the greedy estimate is an
+    # upper bound on OPT, so it only serves as a cap — when greedy leaves
+    # many cells unmatched (large no_match_penalty datasets) obj_est
+    # overshoots OPT by orders of magnitude and an estimate-driven epsilon
+    # forces a wasted certification re-solve.
     eps_solver = max(
         eps_floor,
-        gap * max(obj_lb, obj_est / 2.0) / max(n_aligned, 1) / 2.0,
+        gap * min(max(obj_lb, 1e-12), obj_est) / max(n_aligned, 1),
     )
 
     # Warm start (reference src/same.py:1201-1215, src/init_helpers.py:180-237):

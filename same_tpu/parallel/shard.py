@@ -244,6 +244,11 @@ def solve_windows_sharded(
                 data["rounds_used"],
                 data["time_limit_reached"],
                 t_sep0,
+                allowed_flip_fraction=(
+                    pw.solver["lazy_allowed_flip_fraction"]
+                    if pw.optim["lazy_constraints"]
+                    else 0.0
+                ),
             )
             pw.stage_times["solve"] = t_sep / max(len(pws), 1)
             for k2 in ("separation_time", "repair_time", "incumbent_eval_time"):

@@ -35,7 +35,7 @@ class _RepairState:
     def __init__(
         self, problem, pair_costs, tris, tri_weights, source_signs,
         ref_coords, match_ref, match_pair, cut_arrays, delaunay_penalty,
-        penalty_coeff,
+        penalty_coeff, flip_penalty: float = 0.0,
     ):
         self.n = problem.n_aligned
         self.pair_costs = np.asarray(pair_costs, np.float64)
@@ -43,7 +43,8 @@ class _RepairState:
         self.pc = float(penalty_coeff)
         self.tris = np.asarray(tris, np.int64).reshape(-1, 3)
         self.T = len(self.tris)
-        self.dpw = float(delaunay_penalty) * np.asarray(tri_weights, np.float64)
+        self.w = np.asarray(tri_weights, np.float64)
+        self.dpw = float(delaunay_penalty) * self.w
         self.src = np.asarray(source_signs, np.int32)
         self.ref_xy = np.asarray(ref_coords, np.float64)
         self.match_ref = match_ref
@@ -100,12 +101,22 @@ class _RepairState:
             self.cut_nmatch = np.zeros(0, np.int64)
             self.tri_act = np.zeros(self.T, np.int64)
 
+        # With flip_penalty > 0 (zero flip budget / eager mode), every
+        # flipped triangle pays dp * w_t whether or not a cut triple is
+        # registered; a triangle pays once (union of cut-active and
+        # flipped).
+        self.flip_pen = float(flip_penalty)
+        if self.flip_pen > 0.0 and self.T:
+            self.flipped = self.local_flips(np.arange(self.T))
+        else:
+            self.flipped = np.zeros(self.T, bool)
+
         matched = match_pair >= 0
         self.obj = (
             float(self.pair_costs[match_pair[matched]].sum())
             + self.pc * float(np.maximum(self.u - 1, 0).sum())
             + float(self.nm[~matched].sum())
-            + float(self.dpw[self.tri_act > 0].sum())
+            + float(self.dpw[(self.tri_act > 0) | self.flipped].sum())
         )
 
     # -- local structure lookups -----------------------------------------
@@ -116,12 +127,18 @@ class _RepairState:
         s, e = self._vc_start[v], self._vc_start[v + 1]
         return self._vc_k[s:e], self._vc_pos[s:e]
 
-    def local_flips(self, ts):
-        """Flip flags for triangle ids ``ts`` under the current matching."""
+    def local_flips(self, ts, override_v=None, override_j=None):
+        """Flip flags for triangle ids ``ts`` under the current matching.
+
+        ``override_v``/``override_j`` evaluate the flags as if vertex v were
+        matched to ref j (side-effect-free what-if for move deltas).
+        """
         if len(ts) == 0:
             return np.zeros(0, bool)
         sub = self.tris[ts]
         mr = self.match_ref[sub]
+        if override_v is not None:
+            mr = np.where(sub == override_v, override_j, mr)
         ok = (mr >= 0).all(axis=1)
         out = np.zeros(len(ts), bool)
         if ok.any():
@@ -147,6 +164,10 @@ class _RepairState:
                 d -= self.pc
             if j_new >= 0 and self.u[j_new] >= 1:
                 d += self.pc
+        # Tearing term: a triangle pays dp * w_t iff it has an active cut
+        # triple OR (flip-pay mode) it is flipped; accumulate per-triangle
+        # pay-state changes across both mechanisms.
+        tri_delta: dict = {}
         ks, poss = self.cuts_of(v)
         if len(ks):
             was = self.cmatch[ks, poss]
@@ -158,18 +179,26 @@ class _RepairState:
                 act_delta = (new_nmatch == 3).astype(np.int64) - (
                     self.cut_nmatch[ks_c] == 3
                 ).astype(np.int64)
-                # Per-triangle: pays iff active-cut count > 0.
-                t_ids = self.ct[ks_c]
-                tri_delta: dict = {}
-                for t, ad in zip(t_ids, act_delta):
+                for t, ad in zip(self.ct[ks_c], act_delta):
                     tri_delta[t] = tri_delta.get(t, 0) + ad
-                for t, ad in tri_delta.items():
-                    before = self.tri_act[t] > 0
-                    after = (self.tri_act[t] + ad) > 0
-                    if after and not before:
-                        d += self.dpw[t]
-                    elif before and not after:
-                        d -= self.dpw[t]
+        flip_after = {}
+        if self.flip_pen > 0.0:
+            ts = self.tris_of(v)
+            if len(ts):
+                fa = self.local_flips(ts, override_v=v, override_j=j_new)
+                for t, f_new in zip(ts, fa):
+                    if bool(f_new) != bool(self.flipped[t]):
+                        flip_after[int(t)] = bool(f_new)
+        for t in set(tri_delta) | set(flip_after):
+            ad = tri_delta.get(t, 0)
+            f_before = bool(self.flipped[t]) if self.flip_pen > 0.0 else False
+            f_after = flip_after.get(t, f_before)
+            before = (self.tri_act[t] > 0) or f_before
+            after = ((self.tri_act[t] + ad) > 0) or f_after
+            if after and not before:
+                d += self.dpw[t]
+            elif before and not after:
+                d -= self.dpw[t]
         return d
 
     def apply(self, v, p_new, j_new):
@@ -196,6 +225,10 @@ class _RepairState:
                 is_full = self.cut_nmatch[ks_c] == 3
                 for t, wf, f in zip(self.ct[ks_c], was_full, is_full):
                     self.tri_act[t] += int(f) - int(wf)
+        if self.flip_pen > 0.0:
+            ts = self.tris_of(v)
+            if len(ts):
+                self.flipped[ts] = self.local_flips(ts)
         self.obj += d
         return d
 
@@ -210,7 +243,7 @@ class _RepairState:
 def local_repair(
     problem, pair_costs, tris, tri_weights, source_signs, ref_coords,
     match_ref, match_pair, cut_arrays, delaunay_penalty, penalty_coeff,
-    hard, max_sweeps: int = 5, deadline=None,
+    hard, max_sweeps: int = 5, deadline=None, flip_penalty: float = 0.0,
 ):
     """Greedy exact-objective descent; returns (match_ref, match_pair, timed_out).
 
@@ -223,6 +256,7 @@ def local_repair(
     st = _RepairState(
         problem, pair_costs, tris, tri_weights, source_signs, ref_coords,
         match_ref, match_pair, cut_arrays, delaunay_penalty, penalty_coeff,
+        flip_penalty=flip_penalty,
     )
     n = st.n
     timed_out = False
@@ -317,4 +351,182 @@ def local_repair(
 
         if not improved:
             break
+
+    # Exact finishing pass for the zero-flip-budget / hard regimes: greedy
+    # 1/2-moves cannot find branch-and-bound's coordinated multi-vertex
+    # escapes, but the hard region is small and local by construction —
+    # solve each connected component of paying triangles exactly with the
+    # MILP oracle, boundary vertices frozen. A component fix can unlock
+    # further improvements in its neighbors, so iterate to a fixed point
+    # (bounded).
+    if (st.flip_pen > 0.0 or hard) and st.T and not timed_out:
+        for _ in range(3):
+            obj_before = st.obj
+            timed_out = _exact_component_repair(
+                st, problem, pair_costs, hard, deadline
+            )
+            if timed_out or st.obj >= obj_before - 1e-9:
+                break
     return st.match_ref, st.match_pair, timed_out
+
+
+def _exact_component_repair(
+    st, problem, pair_costs, hard, deadline,
+    max_comp_verts: int = 40, max_comps: int = 25,
+    milp_time_limit: float = 10.0,
+):
+    """Exact MILP repair over connected components of paying triangles.
+
+    For each component: the component's vertices keep their full candidate
+    sets; vertices of adjacent triangles are frozen to their current match;
+    ref capacities are reduced by usage outside the component; every
+    triangle fully inside the frozen+free vertex set carries its
+    orientation term. The component optimum is applied through the
+    incremental state, so the global objective only improves.
+    """
+    import time as _time
+
+    from .milp_oracle import solve_mip_oracle
+
+    timed_out = False
+    # Seeds: triangles paying the tearing price, plus triangles whose
+    # orientation check is disabled by an unmatched vertex — unmatching is
+    # the greedy escape, and the exact pass must be allowed to revisit it.
+    paying = st.flipped | (st.tri_act > 0)
+    unmatched = np.flatnonzero(st.match_ref[: st.n] < 0)
+    for v in unmatched:
+        ts = st.tris_of(int(v))
+        if len(ts):
+            paying[ts] = True
+    if not paying.any():
+        return False
+
+    # Connected components of paying triangles via shared vertices.
+    comp_of = {}
+    comps = []
+    for t in np.flatnonzero(paying):
+        verts = [int(v) for v in st.tris[t]]
+        hit = {comp_of[v] for v in verts if v in comp_of}
+        if not hit:
+            cid = len(comps)
+            comps.append(set(verts))
+        else:
+            cid = min(hit)
+            for other in hit - {cid}:
+                comps[cid] |= comps[other]
+                for v in comps[other]:
+                    comp_of[v] = cid
+                comps[other] = set()
+            comps[cid] |= set(verts)
+        for v in verts:
+            comp_of[v] = cid
+    comps = [c for c in comps if c]
+    comps.sort(key=len, reverse=True)
+
+    for comp in comps[:max_comps]:
+        if deadline is not None and _time.time() > deadline:
+            return True
+        if len(comp) > max_comp_verts:
+            continue
+        free = sorted(comp)
+        free_set = set(free)
+        # Closure: triangles touching the free set; their other matched
+        # vertices are frozen boundary.
+        tri_ids = sorted({int(t) for v in free for t in st.tris_of(v)})
+        boundary = set()
+        sub_tris = []
+        for t in tri_ids:
+            verts = [int(v) for v in st.tris[t]]
+            outside = [v for v in verts if v not in free_set]
+            if any(st.match_ref[v] < 0 for v in outside):
+                # A permanently unmatched boundary vertex disables the
+                # orientation check for this triangle; skip it.
+                continue
+            boundary.update(outside)
+            sub_tris.append(t)
+        sub_verts = free + sorted(boundary)
+        local_of = {v: i for i, v in enumerate(sub_verts)}
+
+        # Candidate pairs: full sets for free vertices, frozen singleton
+        # for boundary vertices.
+        s_pairs, s_costs, s_orig = [], [], []
+        for v in free:
+            seen = set()
+            for c in np.flatnonzero(problem.valid[v]):
+                p = int(problem.pair_idx[v, c])
+                if p in seen:
+                    continue
+                seen.add(p)
+                s_pairs.append((local_of[v], int(problem.cand_ref[v, c])))
+                s_costs.append(float(pair_costs[p]))
+                s_orig.append(p)
+        for v in sorted(boundary):
+            s_pairs.append((local_of[v], int(st.match_ref[v])))
+            s_costs.append(float(pair_costs[st.match_pair[v]]))
+            s_orig.append(int(st.match_pair[v]))
+        s_pairs = np.asarray(s_pairs, np.int64)
+
+        # Remap refs; capacities reduced by usage outside the subproblem.
+        sub_refs = np.unique(s_pairs[:, 1])
+        ref_map = {int(j): k for k, j in enumerate(sub_refs)}
+        s_pairs[:, 1] = [ref_map[int(j)] for j in s_pairs[:, 1]]
+        inside_usage = np.zeros(len(sub_refs), np.int64)
+        for v in sub_verts:
+            j = int(st.match_ref[v])
+            if j in ref_map:
+                inside_usage[ref_map[j]] += 1
+        limits = np.array(
+            [
+                int(st.limits[j]) - (int(st.u[j]) - int(inside_usage[ref_map[j]]))
+                for j in sub_refs
+            ],
+            np.int64,
+        )
+        nm_cost = np.concatenate(
+            [st.nm[free], np.full(len(boundary), 1e9)]
+        )
+        tris_local = np.array(
+            [[local_of[int(v)] for v in st.tris[t]] for t in sub_tris],
+            np.int64,
+        ).reshape(-1, 3)
+        try:
+            oracle = solve_mip_oracle(
+                s_pairs, np.asarray(s_costs), len(sub_verts), len(sub_refs),
+                np.maximum(limits, 0), st.pc, nm_cost,
+                triangles=tris_local if len(sub_tris) else None,
+                tri_weights=np.array([st.w[t] for t in sub_tris])
+                if len(sub_tris)
+                else None,
+                source_signs=np.array([st.src[t] for t in sub_tris], np.int32)
+                if len(sub_tris)
+                else None,
+                # The oracle's separation indexes ref_coords by the
+                # (remapped) ref row of s_pairs.
+                ref_coords=st.ref_xy[sub_refs],
+                delaunay_penalty=(
+                    1e7 if hard else (st.flip_pen if st.flip_pen > 0 else 0.0)
+                ),
+                lazy_allowed_flip_fraction=0.0,
+                max_outer_iters=20,
+                mip_gap=1e-6,
+            )
+        except Exception:
+            continue
+        # Apply the component optimum through the incremental state.
+        for k, v in enumerate(free):
+            new_ref_local = int(oracle.match_ref[local_of[v]])
+            if new_ref_local < 0:
+                p_new, j_new = -1, -1
+            else:
+                j_new = int(sub_refs[new_ref_local])
+                # Find the original pair id for (v, j_new).
+                p_new = -1
+                for c in np.flatnonzero(problem.valid[v]):
+                    if int(problem.cand_ref[v, c]) == j_new:
+                        p_new = int(problem.pair_idx[v, c])
+                        break
+                if p_new < 0:
+                    continue
+            if p_new != int(st.match_pair[v]):
+                st.apply(v, p_new, j_new)
+    return timed_out

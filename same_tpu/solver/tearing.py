@@ -488,6 +488,7 @@ def solve_with_tearing(
         delaunay_penalty, penalty_coeff, hard, deadline,
         incumbents, cut_tris, cut_verts_list, cut_pairs_list,
         cuts_added, rounds_used, time_limit_reached, t_sep_start,
+        allowed_flip_fraction=allowed_flip_fraction,
     )
 
 
@@ -530,6 +531,7 @@ def _finish_solve(
     delaunay_penalty, penalty_coeff, hard, deadline,
     incumbents, cut_tris, cut_verts_list, cut_pairs_list,
     cuts_added, rounds_used, time_limit_reached, t_sep_start,
+    allowed_flip_fraction=None,
 ) -> TearingResult:
     """Incumbent evaluation under the final cut set + local repair + result.
 
@@ -538,6 +540,13 @@ def _finish_solve(
     incumbent is re-scored here with exact MIP semantics and the best one is
     repaired and returned. Shared tail of the host loop, the single-window
     device loop, and the sharded multi-window path.
+
+    With a ZERO flip budget (``allowed_flip_fraction <= 0`` — the eager
+    constraint mode and the reference's synthetic configuration) every
+    flipped triangle pays ``dp * w_t`` regardless of cut registration:
+    Gurobi's callback would keep cutting until no un-cut flip survives, so
+    scoring uncut flips as free would reward running out the separation
+    budget ("cut evasion").
     """
     import time as _time
 
@@ -546,12 +555,36 @@ def _finish_solve(
     T = len(tris)
     tri_weights = np.asarray(tri_weights, dtype=np.float64)
     source_signs = np.asarray(source_signs, dtype=np.int32)
+    flips_pay = (
+        allowed_flip_fraction is not None
+        and allowed_flip_fraction <= 0.0
+        and delaunay_penalty > 0.0
+        and not hard
+    )
 
     cut_tris_arr = np.asarray(cut_tris) if cut_tris else None
     cut_verts_arr = np.asarray(cut_verts_list) if cut_tris else None
     cut_pairs_arr = np.asarray(cut_pairs_list) if cut_tris else None
 
-    def true_objective(match_ref, match_pair):
+    ref_xy64 = np.asarray(ref_coords, np.float64)
+
+    def flips_of(match_ref):
+        if not T:
+            return np.zeros(0, bool)
+        mr = match_ref[tris]
+        ok = (mr >= 0).all(axis=1)
+        out = np.zeros(T, bool)
+        if ok.any():
+            p = ref_xy64[np.clip(mr[ok], 0, len(ref_xy64) - 1)]
+            cross = (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1]) - (
+                p[:, 1, 1] - p[:, 0, 1]
+            ) * (p[:, 2, 0] - p[:, 0, 0])
+            rs = np.sign(cross).astype(np.int32)
+            s = source_signs[ok]
+            out[ok] = (rs != 0) & (s != 0) & (rs != s)
+        return out
+
+    def true_objective(match_ref, match_pair, flipped=None):
         matched_costs = np.zeros(n)
         sel = match_pair >= 0
         matched_costs[sel] = pair_costs[match_pair[sel]]
@@ -559,13 +592,19 @@ def _finish_solve(
             match_ref, matched_costs, problem.n_ref, penalty_coeff,
             np.asarray(problem.nm_cost[:n], np.float64),
         )
-        # Tearing term: q_t = 1 for triangles with an active cut triple.
+        # Tearing term: q_t = 1 for triangles with an active cut triple;
+        # at zero flip budget every flipped triangle pays as well.
         q_active = np.zeros(T, dtype=bool)
         if cut_tris_arr is not None:
             active = (match_pair[cut_verts_arr] == cut_pairs_arr).all(axis=1)
             q_active[cut_tris_arr[active]] = True
+        paying = q_active
+        if flips_pay:
+            if flipped is None:
+                flipped = flips_of(match_ref)
+            paying = q_active | flipped[:T]
         tear = (
-            float(delaunay_penalty) * float(tri_weights[q_active].sum())
+            float(delaunay_penalty) * float(tri_weights[paying].sum())
             if T
             else 0.0
         )
@@ -573,7 +612,9 @@ def _finish_solve(
 
     best = None
     for match_ref, match_pair, flipped, checked, flip_frac, rounds in incumbents:
-        base_obj, mip_obj, q_active = true_objective(match_ref, match_pair)
+        base_obj, mip_obj, q_active = true_objective(
+            match_ref, match_pair, flipped=flipped
+        )
         if hard:
             # Hard spatial constraints: a flipped incumbent is infeasible.
             # Rank by (n_flips, objective) so a feasible one always wins.
@@ -607,11 +648,11 @@ def _finish_solve(
                 np.asarray(ref_coords, np.float64), match_ref.copy(),
                 match_pair.copy(), cut_arrays, delaunay_penalty,
                 penalty_coeff, hard, deadline=deadline,
+                flip_penalty=(delaunay_penalty if flips_pay else 0.0),
             )
             time_limit_reached = time_limit_reached or repair_timed_out
     t_repair_end = _time.time()
 
-    base_obj, mip_obj, q_active = true_objective(match_ref, match_pair)
     if T:
         tris_j = jnp.asarray(tris)
         checked_j, flipped_j = matched_triangle_flips(
@@ -624,6 +665,9 @@ def _finish_solve(
     else:
         checked = np.zeros(0, bool)
         flipped = np.zeros(0, bool)
+    base_obj, mip_obj, q_active = true_objective(
+        match_ref, match_pair, flipped=flipped
+    )
     n_checked = int(checked.sum())
     flip_frac = float(flipped.sum()) / n_checked if n_checked else 0.0
     return TearingResult(

@@ -60,7 +60,8 @@ def _tearing_loop(
 
     def body(state):
         (extra, prices, assigned_c, owner_c, r, cuts_added, stop, cut_mem,
-         cut_cnt, all_choices, all_flipped, all_checked, all_rounds) = state
+         cut_cnt, all_choices, all_flipped, all_checked, all_rounds,
+         best_flips, since_improve) = state
 
         # Warm-carry assignments and ownership across tear rounds: only the
         # newly surcharged pairs violate eps-CS at the boundary, so re-solves
@@ -109,11 +110,20 @@ def _tearing_loop(
         all_checked = all_checked.at[r].set(checked)
         all_rounds = all_rounds.at[r].set(res.rounds)
 
+        # Plateau detection: when the flip count stops improving the loop is
+        # in pay-territory (moving costs more than the q price) and further
+        # rounds only churn — the incumbent evaluation already has the best
+        # matchings.
+        improved = n_flipped < best_flips
+        best_flips = jnp.minimum(best_flips, n_flipped.astype(jnp.int32))
+        since_improve = jnp.where(improved, 0, since_improve + 1)
+
         stop_now = (
             (n_checked == 0)
             | (n_flipped == 0)
             | frac_ok
             | (cuts_added >= max_cuts_total)
+            | (since_improve >= 6)
             | (delaunay_penalty == 0.0) & ~hard
         )
 
@@ -168,7 +178,7 @@ def _tearing_loop(
         return (
             extra, res.prices, res.choice, res.owner, r + 1,
             cuts_added + added, stop, cut_mem, cut_cnt, all_choices,
-            all_flipped, all_checked, all_rounds,
+            all_flipped, all_checked, all_rounds, best_flips, since_improve,
         )
 
     def cond(state):
@@ -197,6 +207,8 @@ def _init_state(n, C, T, K, R, prices0):
         jnp.zeros((R, T), bool),
         jnp.zeros((R, T), bool),
         jnp.zeros(R, jnp.int32),
+        jnp.int32(2**30),                      # best flip count so far
+        jnp.int32(0),                          # rounds since improvement
     )
 
 
@@ -310,7 +322,7 @@ def run_tearing_device(
     # budget cap IS the effective termination on contested instances. Also
     # bounded by the watchdog-safe execution time.
     max_rounds = max(
-        1024, min(max_rounds, n_pad // 2, int(15.0 / per_round_s))
+        1024, min(max_rounds, n_pad // 4, int(15.0 / per_round_s))
     )
     kwargs = dict(
         L=L,
@@ -511,7 +523,7 @@ def run_tearing_device_batch(
     )
     per_round_s = 1e-4 + n_local * n_pad * C * 1.2e-8
     max_rounds = max(
-        1024, min(max_rounds, n_pad // 2, int(15.0 / per_round_s))
+        1024, min(max_rounds, n_pad // 4, int(15.0 / per_round_s))
     )
     kwargs = dict(
         L=L,
@@ -569,6 +581,8 @@ def run_tearing_device_batch(
         jnp.zeros((B_pad, max_tear_rounds, T_pad), bool),
         jnp.zeros((B_pad, max_tear_rounds, T_pad), bool),
         jnp.zeros((B_pad, max_tear_rounds), jnp.int32),
+        jnp.full(B_pad, 2**30, jnp.int32),
+        jnp.zeros(B_pad, jnp.int32),
     )
 
     if mesh is not None:
