@@ -720,6 +720,42 @@ def finalize_window(
         np.save(os.path.join(outprefix, "var_out.npy"), var_out, allow_pickle=True)
         aligned_df.to_csv(os.path.join(outprefix, "aligned_df.csv"), index=False)
         ref_df.to_csv(os.path.join(outprefix, "ref_df.csv"), index=False)
+        # Solver-state dump — the analog of the reference's matching_model.lp
+        # (reference src/same.py:1218-1224): a structured description of the
+        # model the solver actually saw plus how the solve went.
+        import json
+
+        state = {
+            "model": {
+                "n_aligned": int(n_aligned),
+                "n_ref": int(n_ref),
+                "n_pairs": int(len(valid_pairs)),
+                "n_triangles": int(T),
+                "padded_shape": list(pw.problem.costs.shape),
+                "n_slots": int(pw.problem.n_slots),
+                "slot_copies": int(pw.problem.n_slot_copies),
+                "eps_final": float(pw.eps_solver),
+            },
+            "params": {
+                k: v
+                for k, v in optim.items()
+                if isinstance(v, (int, float, str, bool, type(None)))
+            },
+            "solve": {
+                "objective": float(result.objective),
+                "assignment_objective": float(result.assignment_objective),
+                "flip_fraction": float(result.flip_fraction),
+                "tear_rounds": int(result.tear_rounds),
+                "cuts_added": int(result.cuts_added),
+                "time_limit_reached": time_limit_reached,
+                "warm_start": pw.warm_info,
+                "stage_times": {
+                    k: round(float(v), 4) for k, v in pw.stage_times.items()
+                },
+            },
+        }
+        with open(os.path.join(outprefix, "solver_state.json"), "w") as f:
+            json.dump(state, f, indent=1)
 
     # triangle_violation from actual signed-area flips (:1464-1471).
     flipped_nodes = set()

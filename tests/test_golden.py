@@ -153,7 +153,11 @@ def test_golden_parity(ds, tmp_path):
     assert out["triangle_violation"].sum() <= golden["triangle_violation"].sum()
 
     # --- Artifact files written with the reference layout -------------------
-    for fname in ("matches_df.csv", "aligned_df.csv", "ref_df.csv", "var_out.npy"):
+    # (solver_state.json is the analog of the reference's matching_model.lp.)
+    for fname in (
+        "matches_df.csv", "aligned_df.csv", "ref_df.csv", "var_out.npy",
+        "solver_state.json",
+    ):
         assert (tmp_path / ds / fname).exists()
 
 
