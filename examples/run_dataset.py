@@ -73,7 +73,107 @@ def load_luad(data_dir):
     )
 
 
-LOADERS = {"heart": load_heart, "tongue": load_tongue, "luad": load_luad}
+def load_synthetic(data_dir):
+    """The paper's 4-quadrant benchmark (reference examples/synthetic/run_same.sh:30-55)."""
+    ref = pd.read_csv(f"{data_dir}/ref.csv", index_col=0)
+    align = pd.read_csv(f"{data_dir}/query.csv", index_col=0)
+    return ref, align, ["c1", "c2", "c3"], dict(
+        window_size=100, overlap=0, radius=5, r_max=5, id_col="cell_idx",
+        min_angle_deg=5, max_matches=2, mip_gap=0.025,
+        ignore_same_type_triangles=False,
+    )
+
+
+LOADERS = {
+    "heart": load_heart, "tongue": load_tongue, "luad": load_luad,
+    "synthetic": load_synthetic,
+}
+
+
+def evaluate_synthetic(matches, mc_ref, mc_align):
+    """Synthetic-benchmark evaluation (reference
+    examples/synthetic/reproduce_figures.ipynb cells 16+22): direct matched
+    cell-type agreement plus node-level triangle_violation counts with
+    ``ignore_same_type_triangles=False``.
+    """
+    from same_tpu import check_triangle_violations
+
+    matches = matches.copy()
+    matches["align_cell_type"] = mc_align.metacell_df.loc[
+        matches["Aligned_metacell_id"].values, "cell_type"
+    ].values
+    matches["ref_cell_type"] = mc_ref.metacell_df.loc[
+        matches["Ref_metacell_id"].values, "cell_type"
+    ].values
+    ct_accuracy = float(
+        (matches["align_cell_type"] == matches["ref_cell_type"]).mean()
+    )
+    matches["cell_type"] = matches["align_cell_type"]
+    matches.index = matches["Aligned_metacell_id"].values
+    tri_df, stats = check_triangle_violations(
+        matches, mc_align,
+        aligned_id_col="Aligned_metacell_id", ref_id_col="Ref_metacell_id",
+        mapped_x_col="ref_X", mapped_y_col="ref_Y",
+        cell_type_col="cell_type", ignore_same_type_triangles=False,
+        node_local=False, verbose=False,
+    )
+    return {
+        "dataset": "synthetic",
+        "matches": int(len(matches)),
+        "ct_accuracy_pct": round(100 * ct_accuracy, 2),
+        "violation_nodes": int(tri_df["triangle_violation"].sum()),
+        "in_violating_only": int(
+            (
+                tri_df["in_violating_triangle"] & ~tri_df["triangle_violation"]
+            ).sum()
+        ),
+        "triangles_flipped": int(stats["triangles_flipped"]),
+        "total_triangles": int(stats["total_triangles"]),
+    }
+
+
+def evaluate(matches, mc_ref, mc_align, common, dataset):
+    """Reference-notebook evaluation (heart reproduce_figures.ipynb cell 21):
+    1-NN cell-type accuracy of matched query cells placed at their matched
+    ref positions, plus triangle-flip statistics over the aligned Delaunay.
+    """
+    from same_tpu import check_alignment, check_triangle_violations
+
+    matches = matches.copy()
+    matches["cell_type"] = matches[common].idxmax(axis=1)
+    matches["SAME_X"] = matches["ref_X"]
+    matches["SAME_Y"] = matches["ref_Y"]
+
+    ref_df = mc_ref.metacell_df.copy()
+    ref_df["cell_type"] = ref_df[common].idxmax(axis=1)
+    ref_df["SAME_X"] = ref_df["X"]
+    ref_df["SAME_Y"] = ref_df["Y"]
+
+    eval_df, _ = check_alignment(
+        matches, ref_df, xcol="SAME_X", ycol="SAME_Y",
+        ctype_col="cell_type", kNN=1,
+    )
+    accuracy = 100 * eval_df["_1NN_match"].sum() / len(eval_df)
+
+    matches.index = matches["Aligned_metacell_id"].values
+    _tri_df, stats = check_triangle_violations(
+        matches, mc_align,
+        aligned_id_col="Aligned_metacell_id", ref_id_col="Ref_metacell_id",
+        mapped_x_col="ref_X", mapped_y_col="ref_Y",
+        cell_type_col="cell_type", ignore_same_type_triangles=True,
+        verbose=False,
+    )
+    violations = 100 * stats["triangles_flipped"] / max(
+        stats["total_triangles"], 1
+    )
+    return {
+        "dataset": dataset,
+        "matches": int(len(matches)),
+        "ct_accuracy_pct": round(float(accuracy), 2),
+        "triangle_violations_pct": round(float(violations), 2),
+        "triangles_flipped": int(stats["triangles_flipped"]),
+        "total_triangles": int(stats["total_triangles"]),
+    }
 
 
 def main():
@@ -84,6 +184,7 @@ def main():
     ap.add_argument("--dp", type=float, default=10)
     ap.add_argument("--knn", type=int, default=8)
     ap.add_argument("--ms", type=int, default=None)
+    ap.add_argument("--json", default=None, help="write evaluation JSON here")
     args = ap.parse_args()
 
     from same_tpu import greedy_triangle_collapse, sliding_window_matching
@@ -92,35 +193,66 @@ def main():
     ms = args.ms if args.ms is not None else (3 if args.dataset == "luad" else 1)
     print(f"{args.dataset}: ref={ref.shape}, align={align.shape}, MS={ms}")
 
+    min_angle = cfg.get("min_angle_deg", 15)
     mc_align = greedy_triangle_collapse(
         align, cell_type_col="cell_type", original_idx_col=cfg["id_col"],
         x_col="X", y_col="Y", max_metacell_size=ms, r_max=cfg["r_max"],
-        min_angle_deg=15, use_alpha_shape=False, return_object=True,
+        min_angle_deg=min_angle, use_alpha_shape=False, return_object=True,
     )
     mc_ref = greedy_triangle_collapse(
         ref, cell_type_col="cell_type", original_idx_col=cfg["id_col"],
         x_col="X", y_col="Y", max_metacell_size=ms, r_max=cfg["r_max"],
-        min_angle_deg=15, use_alpha_shape=False, return_object=True,
+        min_angle_deg=min_angle, use_alpha_shape=False, return_object=True,
     )
 
     optim = dict(
         window_size=cfg["window_size"], overlap=cfg["overlap"],
-        min_cells_per_window=30, max_matches=1, radius=cfg["radius"],
-        knn=args.knn, no_match_penalty=10000, dist_ct_coeff=1,
-        penalty_coeff=100, delaunay_penalty=args.dp,
+        min_cells_per_window=30, max_matches=cfg.get("max_matches", 1),
+        radius=cfg["radius"], knn=args.knn, no_match_penalty=10000,
+        dist_ct_coeff=1, penalty_coeff=100, delaunay_penalty=args.dp,
         cell_id_col="metacell_id", ref_metacell_match_multiplier=ms,
+        min_angle_deg=min_angle,
+        ignore_same_type_triangles=cfg.get("ignore_same_type_triangles", True),
     )
-    solver = dict(mip_gap=0.05, lazy_allowed_flip_fraction=0.05)
+    solver = dict(
+        mip_gap=cfg.get("mip_gap", 0.05),
+        lazy_allowed_flip_fraction=(
+            0.0 if args.dataset == "synthetic" else 0.05
+        ),
+    )
 
     t0 = time.time()
     matches = sliding_window_matching(
         mc_ref, mc_align, outprefix=args.out,
         optim_params=optim, solver_params=solver,
     )
+    minutes = (time.time() - t0) / 60
     print(
-        f"Done in {(time.time() - t0) / 60:.1f} min — {len(matches)} matches, "
+        f"Done in {minutes:.1f} min — {len(matches)} matches, "
         f"{matches['triangle_violation'].mean():.1%} violation nodes"
     )
+
+    if args.dataset == "synthetic":
+        result = evaluate_synthetic(matches, mc_ref, mc_align)
+        result.update(dp=args.dp, knn=args.knn, ms=ms, minutes=round(minutes, 2))
+        print(
+            f"Eval: accuracy={result['ct_accuracy_pct']}% "
+            f"violation_nodes={result['violation_nodes']} "
+            f"(+{result['in_violating_only']} in_violating_only)"
+        )
+    else:
+        result = evaluate(matches, mc_ref, mc_align, common, args.dataset)
+        result.update(dp=args.dp, knn=args.knn, ms=ms, minutes=round(minutes, 2))
+        print(
+            f"Eval: accuracy={result['ct_accuracy_pct']}% "
+            f"violations={result['triangle_violations_pct']}% "
+            f"({result['triangles_flipped']}/{result['total_triangles']})"
+        )
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":

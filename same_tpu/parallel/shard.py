@@ -187,6 +187,16 @@ def solve_windows_sharded(
     for key, idxs in groups.items():
         pws = [prepared[i] for i in idxs]
         solver0 = pws[0].solver
+        # Honor the per-window time_limit contract (reference
+        # src/same.py:1245): the batch runs in lockstep, so its deadline is
+        # the tightest window deadline in the group.
+        batch_deadline = deadline
+        for p in pws:
+            if p.solver["time_limit"] is not None:
+                d = p.t_start + float(p.solver["time_limit"])
+                batch_deadline = d if batch_deadline is None else min(
+                    batch_deadline, d
+                )
         t_sep0 = _time.time()
         datas = run_tearing_device_batch(
             [p.problem for p in pws],
@@ -213,7 +223,7 @@ def solve_windows_sharded(
             max_tear_rounds=solver0["tpu_max_tear_rounds"],
             mesh=mesh,
             prices0_list=[p.prices0 for p in pws],
-            deadline=deadline,
+            deadline=batch_deadline,
         )
         t_sep = _time.time() - t_sep0
         if verbose:
@@ -255,5 +265,32 @@ def solve_windows_sharded(
                 if k2 in res.info:
                     pw.stage_times[k2] = res.info[k2]
             pw.stage_times["separation_time"] = t_sep / max(len(pws), 1)
+            # Gap certification (mirrors solve_prepared): the auction bounds
+            # suboptimality by n * eps; on the rare epsilon-sizing miss,
+            # re-solve this one window finer through the sequential path.
+            n = pw.problem.n_aligned
+            gap = float(pw.solver["mip_gap"])
+            eps = pw.eps_solver
+            lb = max(res.assignment_objective - n * eps, pw.obj_lb)
+            if (
+                n * eps > gap * lb
+                and eps > pw.eps_floor * 1.01
+                and not res.info.get("time_limit_reached", False)
+            ):
+                eps2 = max(
+                    pw.eps_floor, gap * lb / max(n, 1) / 1.5 if lb > 0 else 0.0
+                )
+                if eps2 < eps * 0.7:
+                    if verbose:
+                        print(
+                            f"Window {i}: gap not certified "
+                            f"(n*eps={n * eps:.4g} > {gap:.2g}*lb="
+                            f"{gap * lb:.4g}); re-solving at eps={eps2:.3g}"
+                        )
+                    pw.eps_solver = eps2
+                    res2 = solve_prepared(pw, deadline=deadline, verbose=False)
+                    if res2.objective <= res.objective:
+                        res = res2
+                    res.info["eps_retry"] = eps2
             results[i] = res
     return results

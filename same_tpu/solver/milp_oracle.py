@@ -46,6 +46,7 @@ def solve_mip_oracle(
     lazy_max_cuts_per_incumbent: int = 1000,
     max_outer_iters: int = 50,
     mip_gap: float = 1e-6,
+    time_limit: Optional[float] = None,
 ) -> OracleResult:
     """Solve the window matching MIP exactly, with the lazy-cut outer loop."""
     pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
@@ -121,12 +122,15 @@ def solve_mip_oracle(
             clb.append(-np.inf); cub.append(2.0)
             rloc += 1
         A = sparse.csr_matrix((vv, (rr, cc)), shape=(rloc, nv))
+        options = {"mip_rel_gap": mip_gap}
+        if time_limit is not None:
+            options["time_limit"] = float(time_limit)
         res = milp(
             c=c,
             constraints=LinearConstraint(A, np.array(clb), np.array(cub)),
             integrality=integrality,
             bounds=Bounds(lb, ub),
-            options={"mip_rel_gap": mip_gap},
+            options=options,
         )
         if res.x is None:
             raise RuntimeError(f"MILP oracle failed: {res.message}")

@@ -489,6 +489,9 @@ def _exact_component_repair(
             [[local_of[int(v)] for v in st.tris[t]] for t in sub_tris],
             np.int64,
         ).reshape(-1, 3)
+        comp_budget = milp_time_limit
+        if deadline is not None:
+            comp_budget = min(comp_budget, max(deadline - _time.time(), 0.5))
         try:
             oracle = solve_mip_oracle(
                 s_pairs, np.asarray(s_costs), len(sub_verts), len(sub_refs),
@@ -509,10 +512,21 @@ def _exact_component_repair(
                 lazy_allowed_flip_fraction=0.0,
                 max_outer_iters=20,
                 mip_gap=1e-6,
+                time_limit=comp_budget,
             )
         except Exception:
             continue
-        # Apply the component optimum through the incremental state.
+        # Apply the component optimum through the incremental state. The
+        # oracle's separation loop can terminate before converging
+        # (max_outer_iters / time_limit), in which case its solution may
+        # carry unpenalized flips and score WORSE under exact flips-pay
+        # semantics — snapshot and roll back unless the exact objective
+        # improved (and, in hard mode, no incident triangle is left
+        # flipped).
+        obj_before = st.obj
+        snapshot = [
+            (v, int(st.match_pair[v]), int(st.match_ref[v])) for v in free
+        ]
         for k, v in enumerate(free):
             new_ref_local = int(oracle.match_ref[local_of[v]])
             if new_ref_local < 0:
@@ -529,4 +543,18 @@ def _exact_component_repair(
                     continue
             if p_new != int(st.match_pair[v]):
                 st.apply(v, p_new, j_new)
+        worse = st.obj >= obj_before - 1e-9
+        if not worse and hard:
+            inc = np.unique(
+                np.concatenate([st.tris_of(v) for v in free])
+                if free
+                else np.zeros(0, np.int64)
+            )
+            worse = bool(st.local_flips(inc).any())
+        if worse and any(
+            int(st.match_pair[v]) != p for v, p, _ in snapshot
+        ):
+            for v, p_old, j_old in snapshot:
+                if int(st.match_pair[v]) != p_old:
+                    st.apply(v, p_old, j_old)
     return timed_out

@@ -243,7 +243,6 @@ def solve_with_tearing(
         # in one execution. run_tearing_device now budgets rounds by
         # estimated execution time, so no shape guard is needed.
     )
-    safe_metrics = False
     if use_device:
         # Fused on-device separation loop: one transfer for all rounds
         # (tearing_device.py). Cut registry reconstructed for the exact
@@ -331,77 +330,36 @@ def solve_with_tearing(
                 cost_scale,
             )
 
-            if safe_metrics:
-                # Known TPU-runtime fault territory: compute the per-round
-                # metrics on HOST instead (numpy over [n, C] is cheap); only
-                # the choice vector and the price vector cross the wire.
-                choice_full = np.asarray(
-                    raw.choice.astype(jnp.uint8) if C + 1 < 256 else raw.choice
-                ).astype(np.int64)
-                prices_np = np.asarray(raw.prices)
-                rounds_host = int(raw.rounds)
-                choice = choice_full[:n]
-                col_f = np.clip(choice_full, 0, C - 1)
-                rows_f = np.arange(n_pad)
-                is_match_f = choice_full < C
-                mp_f = np.where(is_match_f, problem.pair_idx[rows_f, col_f], -1)
-                mr_f = np.where(is_match_f, problem.cand_ref[rows_f, col_f], -1)
-                # Flip test (numpy mirror of ops/orient.matched_triangle_flips).
-                ref_np = np.asarray(ref_coords, np.float64)
-                tm = mr_f[tris]
-                all_m = np.all(tm >= 0, axis=1)
-                pnts = ref_np[np.clip(tm, 0, len(ref_np) - 1)]
-                cross = (pnts[:, 1, 0] - pnts[:, 0, 0]) * (
-                    pnts[:, 2, 1] - pnts[:, 0, 1]
-                ) - (pnts[:, 1, 1] - pnts[:, 0, 1]) * (pnts[:, 2, 0] - pnts[:, 0, 0])
-                rs = np.sign(cross).astype(np.int32)
-                checked_full = all_m & (source_signs_np != 0) & (rs != 0)
-                flipped_full = checked_full & (rs != source_signs_np)
-                # Regret + cheapest-to-move vertex.
-                eff = problem.costs + extra_host
-                p_slot = prices_np[problem.slots]
-                vals = np.where(problem.valid, -(eff + p_slot), -np.inf)
-                nm_np = np.asarray(problem.nm_cost, np.float64)
-                held = np.where(is_match_f, vals[rows_f, col_f], -nm_np)
-                alt_mask = problem.valid & (problem.pair_idx != mp_f[:, None])
-                alt_best = np.maximum(
-                    np.where(alt_mask, vals, -np.inf).max(axis=1), -nm_np
-                )
-                regret = held - alt_best
-                vmove_full = np.argmin(
-                    regret[np.clip(tris, 0, n_pad - 1)], axis=1
-                ).astype(np.int8)
-            else:
-                checked_d, flipped_d, vmove_d = _tear_metrics(
-                    problem_dev.costs, extra_dev, problem_dev.slots,
-                    problem_dev.valid, problem_dev.nm_cost, pair_idx_dev,
-                    cand_ref_dev, tris_j, tri_mask_j, src_j, ref_xy_j, prices,
-                    raw.choice,
-                )
-                # ONE device->host transfer per round: everything packed.
-                if C + 1 < 256:
-                    Tp = checked_d.shape[0]
-                    buf = np.asarray(
-                        _pack_round(
-                            raw.choice, checked_d, flipped_d, vmove_d, raw.rounds
-                        )
+            checked_d, flipped_d, vmove_d = _tear_metrics(
+                problem_dev.costs, extra_dev, problem_dev.slots,
+                problem_dev.valid, problem_dev.nm_cost, pair_idx_dev,
+                cand_ref_dev, tris_j, tri_mask_j, src_j, ref_xy_j, prices,
+                raw.choice,
+            )
+            # ONE device->host transfer per round: everything packed.
+            if C + 1 < 256:
+                Tp = checked_d.shape[0]
+                buf = np.asarray(
+                    _pack_round(
+                        raw.choice, checked_d, flipped_d, vmove_d, raw.rounds
                     )
-                    n_pad_local = raw.choice.shape[0]
-                    choice = buf[:n_pad_local].astype(np.int64)[:n]
-                    checked_full = buf[n_pad_local : n_pad_local + Tp].astype(bool)
-                    flipped_full = buf[
-                        n_pad_local + Tp : n_pad_local + 2 * Tp
-                    ].astype(bool)
-                    vmove_full = buf[
-                        n_pad_local + 2 * Tp : n_pad_local + 3 * Tp
-                    ].astype(np.int8)
-                    rounds_host = int(buf[n_pad_local + 3 * Tp :].view(np.int32)[0])
-                else:
-                    choice = np.asarray(raw.choice).astype(np.int64)[:n]
-                    checked_full = np.asarray(checked_d)
-                    flipped_full = np.asarray(flipped_d)
-                    vmove_full = np.asarray(vmove_d)
-                    rounds_host = int(raw.rounds)
+                )
+                n_pad_local = raw.choice.shape[0]
+                choice = buf[:n_pad_local].astype(np.int64)[:n]
+                checked_full = buf[n_pad_local : n_pad_local + Tp].astype(bool)
+                flipped_full = buf[
+                    n_pad_local + Tp : n_pad_local + 2 * Tp
+                ].astype(bool)
+                vmove_full = buf[
+                    n_pad_local + 2 * Tp : n_pad_local + 3 * Tp
+                ].astype(np.int8)
+                rounds_host = int(buf[n_pad_local + 3 * Tp :].view(np.int32)[0])
+            else:
+                choice = np.asarray(raw.choice).astype(np.int64)[:n]
+                checked_full = np.asarray(checked_d)
+                flipped_full = np.asarray(flipped_d)
+                vmove_full = np.asarray(vmove_d)
+                rounds_host = int(raw.rounds)
             last_rounds = rounds_host
             col = np.clip(choice, 0, C - 1)
             rows_np = np.arange(n)
