@@ -52,7 +52,7 @@ def build_window(dp, verbose=True):
     solver = dict(mip_gap=0.025, lazy_allowed_flip_fraction=0.0)
 
     pw = prepare_window(
-        mc_ref, mc_align, ["c1", "c2", "c3"],
+        mc_ref.metacell_df, mc_align, ["c1", "c2", "c3"],
         optim_params=optim, solver_params=solver, verbose=verbose,
     )
     return pw, mc_ref, mc_align

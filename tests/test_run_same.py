@@ -2,9 +2,10 @@
 
 Mirrors the reference's flagship demo (examples/synthetic/run_same.sh):
 MS=1 metacell pass (filtered Delaunay only), then matching with the paper's
-parameters. The reference reports 372/372 matched at 100% cell-type accuracy
-on its data; our generator is a fresh implementation with its own RNG, so
-the assertions check the same qualitative bar rather than exact counts.
+parameters. Since round 3 the generator regenerates the committed paper
+dataset under seed 8899 (tests/test_synthetic_regen.py), so this IS the
+411/372 dataset the reference reports 372/372 matched at 100% cell-type
+accuracy on; the assertions allow the mip_gap-sized slack.
 """
 
 import numpy as np
