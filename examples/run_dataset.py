@@ -36,27 +36,50 @@ LUAD_TYPES = ["B cell", "Epithelial", "Mesenchymal", "Myeloid", "T cell"]
 
 
 def load_heart(data_dir):
+    """ISS heart serial sections: rename ``<type>_percentage`` -> bare names
+    (reference heart/reproduce_figures.ipynb cell 5) and use the
+    valis-registered ``New_X/New_Y`` coordinates.
+
+    The packaged reference scripts say ``spot_x + 75``, but that coordinate
+    system cannot produce the published results: raw spots sit on a
+    242.5-pitch grid (every triangle dies at r_max=50, and 10% of query
+    spots have no ref spot within the kNN radius), while ``New_X`` has
+    12.8-unit pitch and reproduces the published image-only baseline
+    exactly (1-NN accuracy 57.60% == INITIAL_ACCURACY in
+    reproduce_figures.ipynb cell 3; spot_x gives 43.06%).
+    """
     align = pd.read_csv(f"{data_dir}/queryAD_valis.csv")
     ref = pd.read_csv(f"{data_dir}/refAD_valis.csv")
+    rename = {t + "_percentage": t for t in HEART_TYPES}
     for df in (align, ref):
-        df["X"] = df["spot_x"] + 75
-        df["Y"] = df["spot_y"] + 75
+        df.rename(columns=rename, inplace=True)
+        df["X"] = df["New_X"] + 75
+        df["Y"] = df["New_Y"] + 75
         df["cell_type"] = df[HEART_TYPES].idxmax(axis=1)
     return ref, align, HEART_TYPES, dict(
         window_size=4000, overlap=100, radius=50, r_max=50, id_col="Cell_Num"
     )
 
 
+TONGUE_TYPES = [
+    "Endothelial cells", "Epithelial cells", "Fibroblasts",
+    "Lymphoid cells", "Myeloid cells",
+]
+
+
 def load_tongue(data_dir):
+    """MERSCOPE RNA template vs PCF protein query (reference
+    examples/tongue/run_same.sh:74-88): coords = transformed_x/y, probs x100."""
     ref = pd.read_csv(f"{data_dir}/mer_df.csv", index_col=0)
     align = pd.read_csv(f"{data_dir}/prot_df.csv", index_col=0)
-    common = sorted(set(ref["cell_type"].unique()))
     for df in (ref, align):
-        df["Cell_Num_Old"] = df.index.values
-        df[common] = df[common] * 100
-    return ref, align, common, dict(
+        df["X"] = df["transformed_x"]
+        df["Y"] = df["transformed_y"]
+        df[TONGUE_TYPES] = df[TONGUE_TYPES] * 100
+        df["cell_type"] = df[TONGUE_TYPES].idxmax(axis=1)
+    return ref, align, TONGUE_TYPES, dict(
         window_size=4000, overlap=300, radius=300, r_max=300,
-        id_col="Cell_Num_Old",
+        id_col="Cell_Num",
     )
 
 

@@ -302,7 +302,13 @@ def prepare_window(
         aligned_coords = aligned_df[["X", "Y"]].to_numpy(dtype=np.float64)
         n_aligned = len(aligned_df)
         if len(valid_pairs) == 0:
-            raise ValueError("No valid_pairs after unconstrained-node removal.")
+            # The reference proceeds with an empty model here and emits zero
+            # matches for the window (src/same.py:1056-1085 has no guard) —
+            # sparse real-data windows hit this when every node loses its
+            # triangles to the radius/angle filters. Signal the callers.
+            raise EmptyWindowError(
+                "No valid_pairs after unconstrained-node removal."
+            )
 
     # Simplex map + triangle info (:1095-1108).
     aligned_simplex_map = {i: set() for i in range(n_aligned)}
@@ -777,6 +783,29 @@ def finalize_window(
     return out_df, var_out
 
 
+class EmptyWindowError(ValueError):
+    """A window whose optimization problem is empty (zero candidate pairs).
+
+    Mirrors the reference's behavior of solving an empty model and emitting
+    zero matches for such windows rather than failing the whole sweep.
+    """
+
+
+def empty_matches_df(commonCT, cell_id_col: str) -> pd.DataFrame:
+    """Zero-row matches frame with the full output column contract."""
+    cols = (
+        ["aligned_idx", "ref_idx"]
+        + list(commonCT)
+        + [
+            "X", "Y", "ref_X", "ref_Y", "size", "ref_size",
+            f"Ref_{cell_id_col}", f"Aligned_{cell_id_col}",
+            "time_limit_reached", "triangle_violation",
+            "filtered_violation", "run_time",
+        ]
+    )
+    return pd.DataFrame({c: [] for c in cols})
+
+
 def run_same(
     ref_df,
     aligned_df,
@@ -802,16 +831,24 @@ def run_same(
         merged.update(solver_params)
         solver_params = merged
 
-    pw = prepare_window(
-        ref_df,
-        aligned_df,
-        commonCT,
-        aligned_delaunay=aligned_delaunay,
-        aligned_delaunay_vertex_col=aligned_delaunay_vertex_col,
-        optim_params=optim_params,
-        solver_params=solver_params,
-        ignore_precomputed_triangulation=ignore_precomputed_triangulation,
-        verbose=verbose,
-    )
+    try:
+        pw = prepare_window(
+            ref_df,
+            aligned_df,
+            commonCT,
+            aligned_delaunay=aligned_delaunay,
+            aligned_delaunay_vertex_col=aligned_delaunay_vertex_col,
+            optim_params=optim_params,
+            solver_params=solver_params,
+            ignore_precomputed_triangulation=ignore_precomputed_triangulation,
+            verbose=verbose,
+        )
+    except EmptyWindowError as e:
+        if verbose:
+            print(f"Empty window ({e}); emitting zero matches.")
+        cell_id_col = (optim_params or {}).get("cell_id_col") or (
+            getattr(aligned_df, "metacell_idx_col", None) or "Cell_Num_Old"
+        )
+        return empty_matches_df(commonCT, cell_id_col), {"empty_window": True}
     result = solve_prepared(pw, verbose=verbose)
     return finalize_window(pw, result, outprefix=outprefix, verbose=verbose)

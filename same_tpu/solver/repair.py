@@ -36,6 +36,7 @@ class _RepairState:
         self, problem, pair_costs, tris, tri_weights, source_signs,
         ref_coords, match_ref, match_pair, cut_arrays, delaunay_penalty,
         penalty_coeff, flip_penalty: float = 0.0,
+        flip_allowance: float = 0.0,
     ):
         self.n = problem.n_aligned
         self.pair_costs = np.asarray(pair_costs, np.float64)
@@ -101,22 +102,32 @@ class _RepairState:
             self.cut_nmatch = np.zeros(0, np.int64)
             self.tri_act = np.zeros(self.T, np.int64)
 
-        # With flip_penalty > 0 (zero flip budget / eager mode), every
-        # flipped triangle pays dp * w_t whether or not a cut triple is
-        # registered; a triangle pays once (union of cut-active and
-        # flipped).
+        # With flip_penalty > 0, flipped triangles pay dp * w_t even without
+        # a registered cut triple — beyond the budget allowance ``W_A``
+        # (in dp*w units). This emulates Gurobi's unlimited lazy callback:
+        # a final incumbent there either has its flips cut (paying q_t) or
+        # sits within the allowed flip fraction; an UNregistered flip is
+        # never free above budget, because the callback would cut it on the
+        # next incumbent. W_A = 0 reproduces the zero-budget/eager "every
+        # flip pays" semantics exactly (cut-active and free-flip terms are
+        # disjoint and union to cut-active | flipped).
         self.flip_pen = float(flip_penalty)
+        self.W_A = float(flip_allowance)
         if self.flip_pen > 0.0 and self.T:
             self.flipped = self.local_flips(np.arange(self.T))
         else:
             self.flipped = np.zeros(self.T, bool)
+        self.S_free = float(
+            self.dpw[self.flipped & ~(self.tri_act > 0)].sum()
+        )
 
         matched = match_pair >= 0
         self.obj = (
             float(self.pair_costs[match_pair[matched]].sum())
             + self.pc * float(np.maximum(self.u - 1, 0).sum())
             + float(self.nm[~matched].sum())
-            + float(self.dpw[(self.tri_act > 0) | self.flipped].sum())
+            + float(self.dpw[self.tri_act > 0].sum())
+            + max(0.0, self.S_free - self.W_A)
         )
 
     # -- local structure lookups -----------------------------------------
@@ -189,16 +200,24 @@ class _RepairState:
                 for t, f_new in zip(ts, fa):
                     if bool(f_new) != bool(self.flipped[t]):
                         flip_after[int(t)] = bool(f_new)
+        ds_free = 0.0
         for t in set(tri_delta) | set(flip_after):
             ad = tri_delta.get(t, 0)
             f_before = bool(self.flipped[t]) if self.flip_pen > 0.0 else False
             f_after = flip_after.get(t, f_before)
-            before = (self.tri_act[t] > 0) or f_before
-            after = ((self.tri_act[t] + ad) > 0) or f_after
-            if after and not before:
+            act_before = self.tri_act[t] > 0
+            act_after = (self.tri_act[t] + ad) > 0
+            if act_after and not act_before:
                 d += self.dpw[t]
-            elif before and not after:
+            elif act_before and not act_after:
                 d -= self.dpw[t]
+            ds_free += self.dpw[t] * (
+                int(f_after and not act_after) - int(f_before and not act_before)
+            )
+        if ds_free:
+            d += max(0.0, self.S_free + ds_free - self.W_A) - max(
+                0.0, self.S_free - self.W_A
+            )
         return d
 
     def apply(self, v, p_new, j_new):
@@ -213,6 +232,19 @@ class _RepairState:
         self.match_pair[v] = p_new
         self.match_ref[v] = j_new
         ks, poss = self.cuts_of(v)
+        affected = set()
+        if len(ks):
+            affected.update(int(t) for t in self.ct[ks])
+        ts = self.tris_of(v)
+        if self.flip_pen > 0.0 and len(ts):
+            affected.update(int(t) for t in ts)
+        aff = np.fromiter(affected, np.int64, len(affected))
+        if len(aff):
+            free_before = float(
+                self.dpw[aff][
+                    self.flipped[aff] & ~(self.tri_act[aff] > 0)
+                ].sum()
+            )
         if len(ks):
             now = self.cp[ks, poss] == p_new
             chg = self.cmatch[ks, poss] != now
@@ -225,10 +257,15 @@ class _RepairState:
                 is_full = self.cut_nmatch[ks_c] == 3
                 for t, wf, f in zip(self.ct[ks_c], was_full, is_full):
                     self.tri_act[t] += int(f) - int(wf)
-        if self.flip_pen > 0.0:
-            ts = self.tris_of(v)
-            if len(ts):
-                self.flipped[ts] = self.local_flips(ts)
+        if self.flip_pen > 0.0 and len(ts):
+            self.flipped[ts] = self.local_flips(ts)
+        if len(aff):
+            free_after = float(
+                self.dpw[aff][
+                    self.flipped[aff] & ~(self.tri_act[aff] > 0)
+                ].sum()
+            )
+            self.S_free += free_after - free_before
         self.obj += d
         return d
 
@@ -244,6 +281,7 @@ def local_repair(
     problem, pair_costs, tris, tri_weights, source_signs, ref_coords,
     match_ref, match_pair, cut_arrays, delaunay_penalty, penalty_coeff,
     hard, max_sweeps: int = 5, deadline=None, flip_penalty: float = 0.0,
+    flip_allowance: float = 0.0, stats: dict | None = None,
 ):
     """Greedy exact-objective descent; returns (match_ref, match_pair, timed_out).
 
@@ -251,15 +289,19 @@ def local_repair(
     capacities) and no-match; plus a compound move re-matching an unmatched
     vertex while unmatching the neighbor whose absence disables the
     would-be flipped triangles. In ``hard`` mode a move creating a flip on
-    an incident triangle is rejected.
+    an incident triangle is rejected. ``flip_allowance`` (in dp*w units)
+    exempts a budget's worth of uncut flips from the flips-pay term (see
+    _RepairState).
     """
     st = _RepairState(
         problem, pair_costs, tris, tri_weights, source_signs, ref_coords,
         match_ref, match_pair, cut_arrays, delaunay_penalty, penalty_coeff,
-        flip_penalty=flip_penalty,
+        flip_penalty=flip_penalty, flip_allowance=flip_allowance,
     )
     n = st.n
     timed_out = False
+    if stats is not None:
+        stats["flips_in"] = int(st.local_flips(np.arange(st.T)).sum())
 
     for _ in range(max_sweeps):
         if deadline is not None and _time.time() > deadline:
@@ -275,7 +317,14 @@ def local_repair(
             break
         improved = False
 
-        for v in cand:
+        for vi, v in enumerate(cand):
+            if (
+                deadline is not None
+                and (vi & 63) == 0
+                and _time.time() > deadline
+            ):
+                timed_out = True
+                break
             cur_pair = int(st.match_pair[v])
             cur_ref = int(st.match_ref[v])
             best_d, best_move = -1e-9, None
@@ -304,13 +353,22 @@ def local_repair(
                 st.apply(v, *best_move)
                 improved = True
 
+        if timed_out:
+            break
         # Compound move: re-match an unmatched vertex and simultaneously
         # unmatch one neighbor whose absence disables the would-be flipped
         # triangles — the MIP's favourite escape (an orientation check only
         # applies to fully matched triangles).
-        for v in cand:
+        for vi, v in enumerate(cand):
             if st.match_ref[v] >= 0:
                 continue
+            if (
+                deadline is not None
+                and (vi & 63) == 0
+                and _time.time() > deadline
+            ):
+                timed_out = True
+                break
             inc = st.tris_of(v)
             best_d, best_compound = -1e-9, None
             for c in np.flatnonzero(problem.valid[v]):
@@ -349,7 +407,7 @@ def local_repair(
                 st.apply(w, -1, -1)
                 improved = True
 
-        if not improved:
+        if not improved or timed_out:
             break
 
     # Exact finishing pass for the zero-flip-budget / hard regimes: greedy
@@ -359,21 +417,27 @@ def local_repair(
     # MILP oracle, boundary vertices frozen. A component fix can unlock
     # further improvements in its neighbors, so iterate to a fixed point
     # (bounded).
+    if stats is not None:
+        stats["flips_after_greedy"] = int(
+            st.local_flips(np.arange(st.T)).sum()
+        )
     if (st.flip_pen > 0.0 or hard) and st.T and not timed_out:
         for _ in range(3):
             obj_before = st.obj
             timed_out = _exact_component_repair(
-                st, problem, pair_costs, hard, deadline
+                st, problem, pair_costs, hard, deadline, stats=stats
             )
             if timed_out or st.obj >= obj_before - 1e-9:
                 break
+    if stats is not None:
+        stats["flips_out"] = int(st.local_flips(np.arange(st.T)).sum())
     return st.match_ref, st.match_pair, timed_out
 
 
 def _exact_component_repair(
     st, problem, pair_costs, hard, deadline,
-    max_comp_verts: int = 40, max_comps: int = 25,
-    milp_time_limit: float = 10.0,
+    max_comp_verts: int = 40, max_comps: int = 200,
+    milp_time_limit: float = 10.0, stats: dict | None = None,
 ):
     """Exact MILP repair over connected components of paying triangles.
 
@@ -421,7 +485,43 @@ def _exact_component_repair(
         for v in verts:
             comp_of[v] = cid
     comps = [c for c in comps if c]
+    # Oversized components (flip-heavy regions merge into large blobs on
+    # real data) are split into BFS chunks over the triangle adjacency:
+    # each chunk is solved with the rest of the component frozen as
+    # boundary, which is exactly the existing frozen-boundary subproblem
+    # semantics — strictly better than skipping the component outright.
+    chunked = []
+    for comp in comps:
+        if len(comp) <= max_comp_verts:
+            chunked.append(comp)
+            continue
+        remaining = set(comp)
+        adj = {}
+        for v in comp:
+            neigh = set()
+            for t in st.tris_of(v):
+                neigh.update(int(w) for w in st.tris[t] if int(w) in remaining)
+            neigh.discard(v)
+            adj[v] = neigh
+        while remaining:
+            seed = min(remaining)
+            chunk, frontier = set(), [seed]
+            while frontier and len(chunk) < max_comp_verts:
+                v = frontier.pop()
+                if v in chunk or v not in remaining:
+                    continue
+                chunk.add(v)
+                frontier.extend(
+                    sorted(w for w in adj[v] if w in remaining and w not in chunk)
+                )
+            remaining -= chunk
+            chunked.append(chunk)
+    comps = chunked
     comps.sort(key=len, reverse=True)
+    if stats is not None:
+        sizes = sorted((len(c) for c in comps), reverse=True)
+        stats.setdefault("comp_sizes", []).append(sizes[:12])
+        stats["comps_total"] = len(comps)
 
     for comp in comps[:max_comps]:
         if deadline is not None and _time.time() > deadline:

@@ -519,6 +519,22 @@ def _finish_solve(
         and delaunay_penalty > 0.0
         and not hard
     )
+    # Search-side flips-pay with a budget allowance: Gurobi's unlimited
+    # callback cuts EVERY flipped triple it ever sees, so in its final
+    # incumbent a flip is either paying q_t or inside the allowed flip
+    # fraction — never free just because our bounded separation loop didn't
+    # register its exact triple. Score candidates (incumbent selection +
+    # repair) with uncut flips paying dp*w beyond the allowance
+    # W_A = frac * total checked weight. Reported objectives keep exact MIP
+    # semantics (cut-active triples; plus all flips at zero budget).
+    search_pay = delaunay_penalty > 0.0 and not hard and (
+        allowed_flip_fraction is not None
+    )
+    frac = max(float(allowed_flip_fraction or 0.0), 0.0)
+    checkable_w = (
+        float(tri_weights[source_signs != 0].sum()) if T else 0.0
+    )
+    W_A = float(delaunay_penalty) * frac * checkable_w
 
     cut_tris_arr = np.asarray(cut_tris) if cut_tris else None
     cut_verts_arr = np.asarray(cut_verts_list) if cut_tris else None
@@ -568,17 +584,34 @@ def _finish_solve(
         )
         return base, base + tear, q_active
 
+    def search_objective(base_obj, q_active, flipped):
+        """Selection/repair score: uncut flips pay beyond the allowance."""
+        cut_w = float(tri_weights[q_active].sum()) if T else 0.0
+        free_w = (
+            float(tri_weights[flipped[:T] & ~q_active].sum()) if T else 0.0
+        )
+        return (
+            base_obj
+            + float(delaunay_penalty) * cut_w
+            + max(0.0, float(delaunay_penalty) * free_w - W_A)
+        )
+
     best = None
     for match_ref, match_pair, flipped, checked, flip_frac, rounds in incumbents:
         base_obj, mip_obj, q_active = true_objective(
             match_ref, match_pair, flipped=flipped
         )
+        score = (
+            search_objective(base_obj, q_active, flipped)
+            if search_pay
+            else mip_obj
+        )
         if hard:
             # Hard spatial constraints: a flipped incumbent is infeasible.
             # Rank by (n_flips, objective) so a feasible one always wins.
-            key = (int(flipped.sum()), mip_obj)
+            key = (int(flipped.sum()), score)
         else:
-            key = (0, mip_obj)
+            key = (0, score)
         if best is None or key < best[0]:
             best = (key, match_ref, match_pair, rounds)
 
@@ -588,6 +621,7 @@ def _finish_solve(
     # descent over the vertices involved in flips/cuts closes most of that gap.
     _obj0, match_ref, match_pair, rounds = best
     t_eval_end = _time.time()
+    repair_stats: dict = {}
     if T and (delaunay_penalty > 0.0 or hard):
         if deadline is not None and _time.time() > deadline:
             # Repair work remains but the budget is spent: return the best
@@ -601,14 +635,30 @@ def _finish_solve(
                 if cut_tris_arr is not None
                 else None
             )
+            # Repair gets roughly as long as separation took (>=10s, capped
+            # at 120s — separation wall-clock can include tunnel warm-up
+            # stalls that say nothing about useful repair work), bounded by
+            # the window deadline; the exact component MILPs would
+            # otherwise run the full time_limit on flip-heavy data.
+            sep_elapsed = t_sep_end - t_sep_start
+            repair_deadline = t_eval_end + max(10.0, min(sep_elapsed, 120.0))
+            if deadline is not None:
+                repair_deadline = min(repair_deadline, deadline)
             match_ref, match_pair, repair_timed_out = local_repair(
                 problem, pair_costs, tris, tri_weights, source_signs,
                 np.asarray(ref_coords, np.float64), match_ref.copy(),
                 match_pair.copy(), cut_arrays, delaunay_penalty,
-                penalty_coeff, hard, deadline=deadline,
-                flip_penalty=(delaunay_penalty if flips_pay else 0.0),
+                penalty_coeff, hard, deadline=repair_deadline,
+                flip_penalty=(delaunay_penalty if search_pay else 0.0),
+                flip_allowance=W_A,
+                stats=repair_stats,
             )
-            time_limit_reached = time_limit_reached or repair_timed_out
+            # A repair hitting its own (sub-deadline) budget is not a
+            # window time_limit violation.
+            if repair_timed_out and deadline is not None and (
+                _time.time() > deadline
+            ):
+                time_limit_reached = True
     t_repair_end = _time.time()
 
     if T:
@@ -645,5 +695,6 @@ def _finish_solve(
             "separation_time": t_sep_end - t_sep_start,
             "incumbent_eval_time": t_eval_end - t_sep_end,
             "repair_time": t_repair_end - t_eval_end,
+            "repair_stats": repair_stats,
         },
     )

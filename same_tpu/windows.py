@@ -322,25 +322,38 @@ def sliding_window_matching(
         # Multi-chip path: host preprocessing per window, then the batched
         # device solve (full tearing separation) sharded over the mesh, then
         # per-window finalization in grid order (identical outputs).
-        from .core import finalize_window, prepare_window
+        from .core import (
+            EmptyWindowError,
+            empty_matches_df,
+            finalize_window,
+            prepare_window,
+        )
         from .parallel import solve_windows_sharded
 
-        prepared = [
-            prepare_window(
-                task["ref_sub"],
-                task["mov_sub"],
-                commonCT,
-                aligned_delaunay=moving_delaunay,
-                aligned_delaunay_vertex_col=moving_delaunay_vertex_col,
-                optim_params=optim,
-                solver_params=solver,
-                ignore_precomputed_triangulation=ignore_precomputed_triangulation,
-                verbose=verbose,
-            )
-            for task in tasks
-        ]
+        prepared, kept_tasks = [], []
+        for task in tasks:
+            try:
+                prepared.append(
+                    prepare_window(
+                        task["ref_sub"],
+                        task["mov_sub"],
+                        commonCT,
+                        aligned_delaunay=moving_delaunay,
+                        aligned_delaunay_vertex_col=moving_delaunay_vertex_col,
+                        optim_params=optim,
+                        solver_params=solver,
+                        ignore_precomputed_triangulation=ignore_precomputed_triangulation,
+                        verbose=verbose,
+                    )
+                )
+                kept_tasks.append(task)
+            except EmptyWindowError:
+                # Reference behavior: such windows emit zero matches.
+                _crop_and_record(
+                    task, empty_matches_df(commonCT, optim["cell_id_col"])
+                )
         results = solve_windows_sharded(prepared, mesh=mesh, verbose=verbose)
-        for task, pw, res in zip(tasks, prepared, results):
+        for task, pw, res in zip(kept_tasks, prepared, results):
             window_matches, _var_out = finalize_window(
                 pw, res, outprefix=_window_outprefix(task), verbose=verbose
             )
