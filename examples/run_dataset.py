@@ -156,9 +156,11 @@ def evaluate_synthetic(matches, mc_ref, mc_align):
 
 
 def evaluate(matches, mc_ref, mc_align, common, dataset):
-    """Reference-notebook evaluation (heart reproduce_figures.ipynb cell 21):
-    1-NN cell-type accuracy of matched query cells placed at their matched
-    ref positions, plus triangle-flip statistics over the aligned Delaunay.
+    """Reference-notebook evaluation: 1-NN cell-type accuracy of matched
+    query cells placed at their matched ref positions, plus triangle-flip
+    statistics over the aligned Delaunay. The heart notebook counts flips
+    with ``ignore_same_type_triangles=True`` (reproduce_figures.ipynb cell
+    21), the tongue notebook with ``False`` (tongue cell 11).
     """
     from same_tpu import check_alignment, check_triangle_violations
 
@@ -183,7 +185,8 @@ def evaluate(matches, mc_ref, mc_align, common, dataset):
         matches, mc_align,
         aligned_id_col="Aligned_metacell_id", ref_id_col="Ref_metacell_id",
         mapped_x_col="ref_X", mapped_y_col="ref_Y",
-        cell_type_col="cell_type", ignore_same_type_triangles=True,
+        cell_type_col="cell_type",
+        ignore_same_type_triangles=(dataset == "heart"),
         verbose=False,
     )
     violations = 100 * stats["triangles_flipped"] / max(

@@ -307,8 +307,46 @@ def _auction_run(
         cond, body, state
     )
 
-    # Any bidder still unassigned after the round cap falls back to no-match
-    # (feasible by construction; only reachable on pathological inputs).
+    # Final placement for bidders still unassigned at the round cap: a
+    # truncated contested solve can leave a handful of bidders who lost
+    # every bidding war. Dumping them on no-match costs ~no_match_penalty
+    # each (measured +75k on the tongue window = 8 x 10000, 0.7% off
+    # optimum); instead let each take its best currently-FREE slot (or
+    # no-match when genuinely better), with scatter-min conflict
+    # resolution, for a few drained iterations.
+    def place_once(carry):
+        assigned, owner, prices = carry
+        unplaced = assigned < 0
+        free_slot = owner < 0
+        p_slot = prices[slots]
+        vals = jnp.where(
+            valid & free_slot[slots], -(costs + p_slot), -jnp.inf
+        )
+        best = vals.max(axis=1)
+        best_col = jnp.argmax(vals, axis=1).astype(jnp.int32)
+        take_nm = (-nm_cost >= best) | ~jnp.isfinite(best)
+        choice = jnp.where(take_nm, NULL, best_col)
+        tgt = jnp.where(
+            unplaced & ~take_nm,
+            slots[bidder_ids, jnp.clip(best_col, 0, C - 1)],
+            S,
+        )
+        winner = jnp.full(S + 1, n, dtype=jnp.int32)
+        winner = winner.at[tgt].min(
+            jnp.where(unplaced & ~take_nm, bidder_ids, n).astype(jnp.int32)
+        )
+        win = unplaced & ~take_nm & (winner[tgt] == bidder_ids)
+        assigned = jnp.where(
+            unplaced & (win | take_nm), choice, assigned
+        )
+        owner = owner.at[jnp.where(win, tgt, S)].set(
+            jnp.where(win, bidder_ids, -1).astype(jnp.int32), mode="drop"
+        )
+        owner = owner.at[S].set(-1)
+        return assigned, owner, prices
+
+    for _ in range(4):
+        assigned, owner, prices = place_once((assigned, owner, prices))
     assigned = jnp.where(assigned < 0, jnp.int32(C), assigned)
     return AuctionResult(choice=assigned, prices=prices, rounds=it, owner=owner)
 

@@ -121,6 +121,7 @@ class _RepairState:
             self.dpw[self.flipped & ~(self.tri_act > 0)].sum()
         )
 
+        self.changed: set = set()
         matched = match_pair >= 0
         self.obj = (
             float(self.pair_costs[match_pair[matched]].sum())
@@ -223,6 +224,7 @@ class _RepairState:
     def apply(self, v, p_new, j_new):
         """Execute the move (returns its delta, already added to .obj)."""
         d = self.delta(v, p_new, j_new)
+        self.changed.add(int(v))
         p_old = self.match_pair[v]
         j_old = self.match_ref[v]
         if j_old >= 0:
@@ -303,9 +305,18 @@ def local_repair(
     if stats is not None:
         stats["flips_in"] = int(st.local_flips(np.arange(st.T)).sum())
 
+    # The greedy sweeps get at most ~40% of the repair budget: the exact
+    # component MILPs below find the coordinated escapes greedy cannot, so
+    # starving them for more 1-move sweeps is a bad trade.
+    sweep_deadline = deadline
+    if deadline is not None:
+        now = _time.time()
+        sweep_deadline = now + 0.4 * max(deadline - now, 0.0)
+
+    sweeps_cut_short = False
     for _ in range(max_sweeps):
-        if deadline is not None and _time.time() > deadline:
-            timed_out = True
+        if sweep_deadline is not None and _time.time() > sweep_deadline:
+            sweeps_cut_short = True
             break
         all_t = np.arange(st.T)
         flipped_t = all_t[st.local_flips(all_t)]
@@ -319,11 +330,11 @@ def local_repair(
 
         for vi, v in enumerate(cand):
             if (
-                deadline is not None
+                sweep_deadline is not None
                 and (vi & 63) == 0
-                and _time.time() > deadline
+                and _time.time() > sweep_deadline
             ):
-                timed_out = True
+                sweeps_cut_short = True
                 break
             cur_pair = int(st.match_pair[v])
             cur_ref = int(st.match_ref[v])
@@ -353,7 +364,7 @@ def local_repair(
                 st.apply(v, *best_move)
                 improved = True
 
-        if timed_out:
+        if sweeps_cut_short:
             break
         # Compound move: re-match an unmatched vertex and simultaneously
         # unmatch one neighbor whose absence disables the would-be flipped
@@ -363,11 +374,11 @@ def local_repair(
             if st.match_ref[v] >= 0:
                 continue
             if (
-                deadline is not None
+                sweep_deadline is not None
                 and (vi & 63) == 0
-                and _time.time() > deadline
+                and _time.time() > sweep_deadline
             ):
-                timed_out = True
+                sweeps_cut_short = True
                 break
             inc = st.tris_of(v)
             best_d, best_compound = -1e-9, None
@@ -407,7 +418,7 @@ def local_repair(
                 st.apply(w, -1, -1)
                 improved = True
 
-        if not improved or timed_out:
+        if not improved or sweeps_cut_short:
             break
 
     # Exact finishing pass for the zero-flip-budget / hard regimes: greedy
@@ -422,13 +433,28 @@ def local_repair(
             st.local_flips(np.arange(st.T)).sum()
         )
     if (st.flip_pen > 0.0 or hard) and st.T and not timed_out:
-        for _ in range(3):
+        dirty = None  # first pass: all components
+        stall = 0
+        for pass_idx in range(8):
             obj_before = st.obj
+            st.changed = set()
             timed_out = _exact_component_repair(
-                st, problem, pair_costs, hard, deadline, stats=stats
+                st, problem, pair_costs, hard, deadline, stats=stats,
+                dirty=dirty, chunk_seed=pass_idx,
             )
-            if timed_out or st.obj >= obj_before - 1e-9:
+            dirty = set(st.changed)
+            if timed_out:
                 break
+            if st.obj >= obj_before - 1e-9:
+                # No gain with this chunking of the oversized blobs; retry
+                # once with rotated BFS chunk boundaries (different frozen
+                # cuts expose different coordinated escapes), then stop.
+                stall += 1
+                dirty = None
+                if stall >= 2:
+                    break
+            else:
+                stall = 0
     if stats is not None:
         stats["flips_out"] = int(st.local_flips(np.arange(st.T)).sum())
     return st.match_ref, st.match_pair, timed_out
@@ -438,6 +464,7 @@ def _exact_component_repair(
     st, problem, pair_costs, hard, deadline,
     max_comp_verts: int = 40, max_comps: int = 200,
     milp_time_limit: float = 10.0, stats: dict | None = None,
+    dirty: set | None = None, chunk_seed: int = 0,
 ):
     """Exact MILP repair over connected components of paying triangles.
 
@@ -504,7 +531,8 @@ def _exact_component_repair(
             neigh.discard(v)
             adj[v] = neigh
         while remaining:
-            seed = min(remaining)
+            ordered = sorted(remaining)
+            seed = ordered[(chunk_seed * 7919) % len(ordered)]
             chunk, frontier = set(), [seed]
             while frontier and len(chunk) < max_comp_verts:
                 v = frontier.pop()
@@ -518,6 +546,14 @@ def _exact_component_repair(
             chunked.append(chunk)
     comps = chunked
     comps.sort(key=len, reverse=True)
+    if dirty is not None:
+        # Later passes only revisit components near vertices the previous
+        # pass actually changed — untouched subproblems are already optimal.
+        expanded = set(dirty)
+        for v in dirty:
+            for t in st.tris_of(int(v)):
+                expanded.update(int(w) for w in st.tris[t])
+        comps = [c for c in comps if c & expanded]
     if stats is not None:
         sizes = sorted((len(c) for c in comps), reverse=True)
         stats.setdefault("comp_sizes", []).append(sizes[:12])
@@ -610,8 +646,8 @@ def _exact_component_repair(
                     1e7 if hard else (st.flip_pen if st.flip_pen > 0 else 0.0)
                 ),
                 lazy_allowed_flip_fraction=0.0,
-                max_outer_iters=20,
-                mip_gap=1e-6,
+                max_outer_iters=10,
+                mip_gap=1e-5,
                 time_limit=comp_budget,
             )
         except Exception:

@@ -635,13 +635,21 @@ def _finish_solve(
                 if cut_tris_arr is not None
                 else None
             )
-            # Repair gets roughly as long as separation took (>=10s, capped
-            # at 120s — separation wall-clock can include tunnel warm-up
-            # stalls that say nothing about useful repair work), bounded by
-            # the window deadline; the exact component MILPs would
-            # otherwise run the full time_limit on flip-heavy data.
+            # Repair budget: roughly as long as separation took, capped —
+            # separation wall-clock can include tunnel warm-up stalls that
+            # say nothing about useful repair work, and the exact component
+            # MILPs would otherwise run the full time_limit on flip-heavy
+            # data. Small windows get a generous fixed budget instead:
+            # their component MILPs are cheap and quality-critical (the
+            # synthetic benchmark's flip count is decided here).
             sep_elapsed = t_sep_end - t_sep_start
-            repair_deadline = t_eval_end + max(10.0, min(sep_elapsed, 120.0))
+            if n <= 1024:
+                repair_budget = 300.0
+            elif n <= 4096:
+                repair_budget = max(60.0, min(2.0 * sep_elapsed, 240.0))
+            else:
+                repair_budget = max(30.0, min(sep_elapsed, 120.0))
+            repair_deadline = t_eval_end + repair_budget
             if deadline is not None:
                 repair_deadline = min(repair_deadline, deadline)
             match_ref, match_pair, repair_timed_out = local_repair(

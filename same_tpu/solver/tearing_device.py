@@ -317,12 +317,14 @@ def run_tearing_device(
     # the warm-carried assignments/prices.
     per_round_s = 1e-4 + n_pad * C * 1.2e-8
     # Round budget per re-solve: the auction with reverse-drain boundaries
-    # reaches its optimality band in O(n_pad)-ish rounds and then churns
-    # within the eps tolerance without tripping the fixed-point test, so a
-    # budget cap IS the effective termination on contested instances. Also
-    # bounded by the watchdog-safe execution time.
+    # reaches its optimality band and then churns within the eps tolerance
+    # without tripping the fixed-point test, so a budget cap IS the
+    # effective termination on contested instances. n_pad rounds (not
+    # n_pad//4 — measured: the tongue window's round-0 solve is still
+    # placing bidders at 2048 rounds) bounded by the watchdog-safe
+    # execution time; leftover bidders get the final placement pass.
     max_rounds = max(
-        1024, min(max_rounds, n_pad // 4, int(15.0 / per_round_s))
+        1024, min(max_rounds, n_pad, int(15.0 / per_round_s))
     )
     kwargs = dict(
         L=L,
@@ -523,7 +525,7 @@ def run_tearing_device_batch(
     )
     per_round_s = 1e-4 + n_local * n_pad * C * 1.2e-8
     max_rounds = max(
-        1024, min(max_rounds, n_pad // 4, int(15.0 / per_round_s))
+        1024, min(max_rounds, n_pad, int(15.0 / per_round_s))
     )
     kwargs = dict(
         L=L,
