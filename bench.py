@@ -65,6 +65,8 @@ def make_instance(n_cells=25000, extent=13000.0, seed=3):
 
 
 def run_once(mc_ref, mc_align, type_names, dp=25.0):
+    import sys
+
     from same_tpu import run_same
 
     t0 = time.time()
@@ -80,11 +82,29 @@ def run_once(mc_ref, mc_align, type_names, dp=25.0):
         solver_params=dict(mip_gap=0.05, lazy_allowed_flip_fraction=0.05),
         verbose=False,
     )
+    stage = var_out.get("tpu", {}).get("stage_times", {})
+    print(
+        "stage_times: "
+        + " ".join(f"{k}={v:.1f}" for k, v in stage.items() if v > 0.05),
+        file=sys.stderr,
+    )
     return time.time() - t0, matches, var_out
 
 
 def main():
+    import argparse
+
     from same_tpu import greedy_triangle_collapse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--dp", type=float, default=25.0,
+        help="delaunay_penalty (25 = headline row; 50 = Fig S18 blow-up row)",
+    )
+    args = ap.parse_args()
+    # Reference baselines per dp from Fig S18 (total min / 9 windows).
+    baselines = {25.0: 249.9 * 60.0 / 9.0, 50.0: 608.9 * 60.0 / 9.0}
+    baseline_s = baselines.get(args.dp, BASELINE_SECONDS)
 
     ref_df, qry_df, type_names = make_instance()
     mc_align = greedy_triangle_collapse(
@@ -97,20 +117,21 @@ def main():
     )
 
     # Warm-up run: XLA compilation for this shape bucket.
-    run_once(mc_ref, mc_align, type_names)
+    run_once(mc_ref, mc_align, type_names, dp=args.dp)
     # Measured run.
-    elapsed, matches, var_out = run_once(mc_ref, mc_align, type_names)
+    elapsed, matches, var_out = run_once(mc_ref, mc_align, type_names, dp=args.dp)
 
     print(
         json.dumps(
             {
                 "metric": (
-                    "LUAD-scale window (MS=3, ~11k metacells) dp=25 solve "
-                    "wall-clock (vs Gurobi 27.8 min/window, Fig S18)"
+                    f"LUAD-scale window (MS=3, ~11k metacells) dp={args.dp:g} "
+                    f"solve wall-clock (vs Gurobi "
+                    f"{baseline_s / 60:.1f} min/window, Fig S18)"
                 ),
                 "value": round(elapsed, 3),
                 "unit": "s",
-                "vs_baseline": round(BASELINE_SECONDS / elapsed, 2),
+                "vs_baseline": round(baseline_s / elapsed, 2),
                 "matches": int(len(matches)),
                 "flip_fraction": round(
                     float(var_out["tpu"]["flip_fraction"]), 4

@@ -61,7 +61,7 @@ def _values(costs, slots, valid, nm_cost, prices):
     return jnp.concatenate([vals, -nm_cost[:, None]], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("max_rounds", "max_polish"))
+@functools.partial(jax.jit, static_argnames=("max_polish",))
 def _auction_run(
     costs, slots, valid, nm_cost, prices0, eps_schedule, max_rounds,
     max_polish=64, assigned0=None, owner0=None,

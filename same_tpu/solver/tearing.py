@@ -648,7 +648,7 @@ def _finish_solve(
             elif n <= 4096:
                 repair_budget = max(60.0, min(2.0 * sep_elapsed, 240.0))
             else:
-                repair_budget = max(30.0, min(sep_elapsed, 120.0))
+                repair_budget = max(30.0, min(0.75 * sep_elapsed, 90.0))
             repair_deadline = t_eval_end + repair_budget
             if deadline is not None:
                 repair_deadline = min(repair_deadline, deadline)

@@ -33,8 +33,8 @@ _HARD_PENALTY = 1e7
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "L", "K", "max_tear_rounds", "max_rounds", "max_cuts_per_round",
-        "max_cuts_total", "carry",
+        "L", "K", "max_tear_rounds", "max_rounds", "warm_max_rounds",
+        "max_cuts_per_round", "max_cuts_total", "carry",
     ),
 )
 def _tearing_loop(
@@ -45,6 +45,7 @@ def _tearing_loop(
     state, r_end,
     L: int, K: int, max_tear_rounds: int, max_rounds: int,
     max_cuts_per_round: int, max_cuts_total: int, carry: bool = True,
+    warm_max_rounds: int = 0,
 ):
     """One chunk of tear rounds (state-in/state-out, device-resident).
 
@@ -73,10 +74,27 @@ def _tearing_loop(
         # rounds); warm rounds use the surcharge-sized schedule.
         if carry:
             cold = (r % 4) == 0
-            sched = jnp.where(cold, full_schedule, warm_schedule)
+            # Round 0 builds prices from scratch with the full
+            # coarse-to-fine schedule; later cold restarts reset the
+            # ASSIGNMENT (diversification) but keep the near-equilibrium
+            # prices, so the coarse price-building phases would only
+            # re-inflate them — the surcharge-sized warm schedule suffices.
+            sched = jnp.where(r == 0, full_schedule, warm_schedule)
             assigned_in = jnp.where(cold, -1, assigned_c)
             owner_in = jnp.where(cold, -1, owner_c)
             prices_in = prices
+            # Warm re-solves only re-bid the surcharge-displaced holders
+            # and their chains — a fraction of a cold solve's rounds; the
+            # full budget on every re-solve dominated separation wall-clock
+            # (measured 496s -> the cold/warm split recovers most of it).
+            warm_b = warm_max_rounds if warm_max_rounds else max_rounds
+            rounds_budget = jnp.where(
+                cold,
+                jnp.where(
+                    r == 0, jnp.int32(max_rounds), jnp.int32(max_rounds // 2)
+                ),
+                jnp.int32(warm_b),
+            )
         else:
             # Fresh solve of the surcharged problem each round: carried
             # prices from earlier rounds embed surcharge-driven overbids
@@ -85,9 +103,10 @@ def _tearing_loop(
             assigned_in = jnp.full_like(assigned_c, -1)
             owner_in = jnp.full_like(owner_c, -1)
             prices_in = jnp.zeros_like(prices)
+            rounds_budget = jnp.int32(max_rounds)
         res = _auction_run(
             costs + extra, slots, valid, nm, prices_in, sched,
-            max_rounds=max_rounds, assigned0=assigned_in, owner0=owner_in,
+            max_rounds=rounds_budget, assigned0=assigned_in, owner0=owner_in,
             slot_rows=slot_rows, slot_cols=slot_cols,
         )
         choice = res.choice
@@ -331,6 +350,7 @@ def run_tearing_device(
         K=K,
         max_tear_rounds=max_tear_rounds,
         max_rounds=max_rounds,
+        warm_max_rounds=max(1024, max_rounds // 8),
         max_cuts_per_round=int(max_cuts_per_round),
         max_cuts_total=int(max_cuts) if max_cuts is not None else 1 << 30,
         carry=carry,
@@ -532,6 +552,7 @@ def run_tearing_device_batch(
         K=K,
         max_tear_rounds=max_tear_rounds,
         max_rounds=max_rounds,
+        warm_max_rounds=max(1024, max_rounds // 8),
         max_cuts_per_round=int(max_cuts_per_round),
         max_cuts_total=int(max_cuts) if max_cuts is not None else 1 << 30,
     )

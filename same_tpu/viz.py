@@ -274,3 +274,64 @@ def plot_window_grid(matches_df, figsize=(7, 7)):
     ax.set_aspect("equal")
     fig.tight_layout()
     return fig
+
+
+def plot_match_lines(
+    matches_df, ref_df, violation_col="triangle_violation", figsize=(8, 6)
+):
+    """Fig-2-style match overlay: query->ref displacement lines, violations
+    highlighted (reference synthetic reproduce_figures.ipynb cell 23 —
+    good matches as faint black lines, violating nodes as magenta).
+    """
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=figsize)
+    ax.scatter(
+        ref_df["X"], ref_df["Y"], c="tab:blue", marker="P", s=20, alpha=0.3
+    )
+    bad = matches_df[violation_col].astype(bool)
+    good, viol = matches_df[~bad], matches_df[bad]
+    for _, row in good.iterrows():
+        ax.plot(
+            [row["X"], row["ref_X"]], [row["Y"], row["ref_Y"]],
+            "k-", alpha=0.3, linewidth=1,
+        )
+    for _, row in viol.iterrows():
+        ax.plot(
+            [row["X"], row["ref_X"]], [row["Y"], row["ref_Y"]],
+            "m-", alpha=0.8, linewidth=1.5,
+        )
+    ax.scatter(good["X"], good["Y"], c="tab:blue", s=30,
+               label=f"Good ({len(good)})")
+    ax.scatter(viol["X"], viol["Y"], c="magenta", s=50, marker="x",
+               linewidths=2, label=f"Violation ({len(viol)})")
+    ax.set_title("Matches and triangle violations")
+    ax.legend()
+    ax.set_aspect("equal")
+    ax.set_axis_off()
+    fig.tight_layout()
+    return fig
+
+
+def plot_accuracy_violation_sweep(sweep_df, label_col="dp", figsize=(6, 5)):
+    """Fig-3c-style frontier: cell-type accuracy vs triangle violations per
+    parameter setting (one point per dp / MS / knn configuration).
+    """
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=figsize)
+    ax.plot(
+        sweep_df["violations_pct"], sweep_df["accuracy_pct"],
+        "o-", color="#5B8DEF",
+    )
+    for _, row in sweep_df.iterrows():
+        ax.annotate(
+            f"{label_col}={row[label_col]:g}",
+            (row["violations_pct"], row["accuracy_pct"]),
+            textcoords="offset points", xytext=(6, 4), fontsize=9,
+        )
+    ax.set_xlabel("triangle violations (%)")
+    ax.set_ylabel("cell-type accuracy (%)")
+    ax.set_title("Accuracy / tearing frontier")
+    fig.tight_layout()
+    return fig
