@@ -155,7 +155,7 @@ def visualize_space_tearing(
     q = quadrants[q_name]
     ref_pts = np.asarray(q["ref_points"], float)
     qry_pts = np.asarray(q["query_points"], float)
-    gt = np.asarray(q["ground_truth"], int)
+    gt = np.asarray(q["ground_truth_ref_idx"], int)
 
     tris = delaunay_simplices(ref_pts)
     tris = np.asarray(
@@ -235,7 +235,7 @@ def print_statistics(ref_df, query_df, quadrants=None):
     if quadrants:
         print("\nquadrant scenarios:")
         for name, q in quadrants.items():
-            gt = np.asarray(q["ground_truth"])
+            gt = np.asarray(q["ground_truth_ref_idx"])
             print(
                 f"  {name}: {len(q['query_points'])} query / "
                 f"{len(q['ref_points'])} ref, "
