@@ -92,8 +92,8 @@ def main():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    TILE = 512
-    NEG = jnp.float32(-3.0e38)
+    TILE = 1024
+    NEG = -3.0e38  # python float: traced constants cannot be captured
 
     def kernel(costs_ref, pslot_ref, valid_ref, nm_ref, choice_ref, incr_ref):
         c = costs_ref[...]
