@@ -534,28 +534,50 @@ def solve_prepared(
         )
     t0 = time.time()
 
+    # Small-window fast path: sub-512-cell problems are latency-bound, not
+    # compute-bound — on a remote accelerator the per-round transfers and
+    # the fused-loop compile dominate (a 372-cell solve measured ~4x slower
+    # through the TPU tunnel than on the host CPU). Route them to the local
+    # CPU backend; the accelerator keeps the big windows. Opt out with
+    # solver_params['small_window_cpu']=False.
+    import contextlib
+
+    import jax as _jax
+
+    _cpu_ctx = contextlib.nullcontext()
+    if (
+        solver.get("small_window_cpu", True)
+        and pw.problem.n_aligned < 512
+        and _jax.default_backend() != "cpu"
+    ):
+        try:
+            _cpu_ctx = _jax.default_device(_jax.devices("cpu")[0])
+        except Exception:
+            _cpu_ctx = contextlib.nullcontext()
+
     def _solve(eps):
-        return solve_with_tearing(
-            pw.problem,
-            pw.pair_costs,
-            pw.tris,
-            pw.tri_weights,
-            pw.source_signs,
-            pw.ref_coords,
-            delaunay_penalty=float(optim["delaunay_penalty"]),
-            penalty_coeff=float(optim["penalty_coeff"]),
-            allowed_flip_fraction=allowed_frac,
-            max_cuts=solver["lazy_max_cuts"],
-            max_cuts_per_round=solver["lazy_max_cuts_per_incumbent"],
-            max_tear_rounds=solver["tpu_max_tear_rounds"],
-            eps_final=eps,
-            eps_scaling=float(solver["tpu_eps_scaling"]),
-            hard=optim["hard_spatial_constraints"],
-            device_loop=solver.get("tpu_device_loop", "auto"),
-            prices0=pw.prices0,
-            deadline=deadline,
-            verbose=verbose,
-        )
+        with _cpu_ctx:
+            return solve_with_tearing(
+                pw.problem,
+                pw.pair_costs,
+                pw.tris,
+                pw.tri_weights,
+                pw.source_signs,
+                pw.ref_coords,
+                delaunay_penalty=float(optim["delaunay_penalty"]),
+                penalty_coeff=float(optim["penalty_coeff"]),
+                allowed_flip_fraction=allowed_frac,
+                max_cuts=solver["lazy_max_cuts"],
+                max_cuts_per_round=solver["lazy_max_cuts_per_incumbent"],
+                max_tear_rounds=solver["tpu_max_tear_rounds"],
+                eps_final=eps,
+                eps_scaling=float(solver["tpu_eps_scaling"]),
+                hard=optim["hard_spatial_constraints"],
+                device_loop=solver.get("tpu_device_loop", "auto"),
+                prices0=pw.prices0,
+                deadline=deadline,
+                verbose=verbose,
+            )
 
     result = _solve(pw.eps_solver)
     # Gap certification: the auction guarantees obj <= OPT + n * eps, so

@@ -16,6 +16,7 @@ from typing import Optional
 import numpy as np
 from scipy import sparse
 from scipy.optimize import Bounds, LinearConstraint, milp
+from time import monotonic as _now
 
 
 @dataclass
@@ -47,8 +48,26 @@ def solve_mip_oracle(
     max_outer_iters: int = 50,
     mip_gap: float = 1e-6,
     time_limit: Optional[float] = None,
+    init_cuts: Optional[list] = None,
+    eager_triangles: bool = False,
 ) -> OracleResult:
-    """Solve the window matching MIP exactly, with the lazy-cut outer loop."""
+    """Solve the window matching MIP exactly, with the lazy-cut outer loop.
+
+    ``init_cuts`` pre-seeds the lazy-cut registry with (tri_idx, pa, pb, pc)
+    tuples (pair indices into ``pairs``) so a caller that already knows
+    which triples flip — e.g. the component repair starting from a concrete
+    incumbent — skips the outer iterations that would rediscover them.
+
+    ``eager_triangles`` enumerates EVERY candidate-pair triple of every
+    triangle whose orientation flips versus ``source_signs`` and adds its
+    cut up front (the reference's eager O(n*k^3) formulation, reference
+    src/helpers.py:444-573). The spatial model is then complete, so the
+    outer separation loop is skipped and one HiGHS solve is exact. Viable
+    when sum_t prod(candidate counts) is bounded (small windows and the
+    repair's component subproblems); the lazy loop remains the default.
+
+    ``time_limit`` bounds the WHOLE call (all outer iterations share it).
+    """
     pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
     P = len(pairs)
     T = len(triangles) if triangles is not None else 0
@@ -105,11 +124,53 @@ def solve_mip_oracle(
         con_lb.append(-np.inf); con_ub.append(1.0)
         r += 1
 
+    if eager_triangles and T and delaunay_penalty > 0.0:
+        # Eager spatial constraints (reference src/helpers.py:444-573): for
+        # every triangle and every candidate-assignment triple of its three
+        # vertices, if that triple flips the orientation, add
+        # x_a + x_b + x_c <= 2 + q_t up front. Vectorized per triangle over
+        # the candidate grid; makes the model complete so no separation
+        # loop is needed.
+        ref_xy = np.asarray(ref_coords, np.float64)
+        cand_pairs = [
+            np.flatnonzero(pairs[:, 0] == i) for i in range(n_aligned)
+        ]
+        for t in range(T):
+            s = int(source_signs[t])
+            if s == 0:
+                continue
+            a, b, c3 = (int(v) for v in tris[t])
+            pa_l, pb_l, pc_l = cand_pairs[a], cand_pairs[b], cand_pairs[c3]
+            if not (len(pa_l) and len(pb_l) and len(pc_l)):
+                continue
+            A_ = ref_xy[pairs[pa_l, 1]]
+            B_ = ref_xy[pairs[pb_l, 1]]
+            C_ = ref_xy[pairs[pc_l, 1]]
+            cross = (
+                (B_[None, :, 0] - A_[:, None, 0])[:, :, None]
+                * (C_[None, None, :, 1] - A_[:, None, None, 1])
+                - (B_[None, :, 1] - A_[:, None, 1])[:, :, None]
+                * (C_[None, None, :, 0] - A_[:, None, None, 0])
+            )
+            rs = np.sign(cross)
+            for i, j, k in zip(*np.nonzero((rs != 0) & (rs != s))):
+                for p in (pa_l[i], pb_l[j], pc_l[k]):
+                    rows.append(r); cols.append(int(p)); vals.append(1.0)
+                rows.append(r)
+                cols.append(P + n_ref + n_aligned + t)
+                vals.append(-1.0)
+                con_lb.append(-np.inf); con_ub.append(2.0)
+                r += 1
+
     base_rows, base_cols, base_vals = list(rows), list(cols), list(vals)
     base_lb, base_ub = list(con_lb), list(con_ub)
     base_r = r
+    t_call0 = _now()
 
-    cuts: list[tuple[int, int, int, int]] = []  # (tri_idx, pa, pb, pc)
+    # (tri_idx, pa, pb, pc); optionally seeded by the caller.
+    cuts: list[tuple[int, int, int, int]] = (
+        [tuple(int(v) for v in cut) for cut in init_cuts] if init_cuts else []
+    )
 
     def solve_once():
         rr, cc, vv = list(base_rows), list(base_cols), list(base_vals)
@@ -124,7 +185,10 @@ def solve_mip_oracle(
         A = sparse.csr_matrix((vv, (rr, cc)), shape=(rloc, nv))
         options = {"mip_rel_gap": mip_gap}
         if time_limit is not None:
-            options["time_limit"] = float(time_limit)
+            # The limit covers the whole call: outer iterations share it.
+            options["time_limit"] = max(
+                0.5, float(time_limit) - (_now() - t_call0)
+            )
         res = milp(
             c=c,
             constraints=LinearConstraint(A, np.array(clb), np.array(cub)),
@@ -142,7 +206,7 @@ def solve_mip_oracle(
 
     res = solve_once()
     cuts_added_total = 0
-    for _ in range(max_outer_iters):
+    for _ in range(0 if eager_triangles else max_outer_iters):
         xv = res.x[:P] > 0.5
         match_ref = np.full(n_aligned, -1, dtype=np.int64)
         match_pair = np.full(n_aligned, -1, dtype=np.int64)
@@ -150,6 +214,8 @@ def solve_mip_oracle(
             match_ref[pairs[p, 0]] = pairs[p, 1]
             match_pair[pairs[p, 0]] = p
         if not T or delaunay_penalty == 0.0:
+            break
+        if time_limit is not None and _now() - t_call0 > time_limit:
             break
         # Separation: flipped triangles under current matching (reference
         # src/same.py:641-669 semantics).

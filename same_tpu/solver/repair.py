@@ -295,6 +295,7 @@ def local_repair(
     exempts a budget's worth of uncut flips from the flips-pay term (see
     _RepairState).
     """
+    _t_repair0 = _time.time()
     st = _RepairState(
         problem, pair_costs, tris, tri_weights, source_signs, ref_coords,
         match_ref, match_pair, cut_arrays, delaunay_penalty, penalty_coeff,
@@ -432,26 +433,37 @@ def local_repair(
         stats["flips_after_greedy"] = int(
             st.local_flips(np.arange(st.T)).sum()
         )
+        stats["sweep_time"] = round(_time.time() - _t_repair0, 1)
     if (st.flip_pen > 0.0 or hard) and st.T and not timed_out:
         dirty = None  # first pass: all components
         stall = 0
+        hops = 0
+        # Small/medium windows escalate to 1-hop-expanded, larger
+        # components when the base pass stalls: the extra MILP cost is
+        # bounded by the deadline and the quality is decided here (paper
+        # synthetic flip counts; heart violation parity).
+        small = n <= 4096
         for pass_idx in range(8):
             obj_before = st.obj
             st.changed = set()
             timed_out = _exact_component_repair(
                 st, problem, pair_costs, hard, deadline, stats=stats,
-                dirty=dirty, chunk_seed=pass_idx,
+                dirty=dirty, chunk_seed=pass_idx, expand_hops=hops,
+                max_comp_verts=(64 if hops else 40),
             )
             dirty = set(st.changed)
             if timed_out:
                 break
             if st.obj >= obj_before - 1e-9:
                 # No gain with this chunking of the oversized blobs; retry
-                # once with rotated BFS chunk boundaries (different frozen
-                # cuts expose different coordinated escapes), then stop.
+                # with rotated BFS chunk boundaries (different frozen cuts
+                # expose different coordinated escapes), on small windows
+                # also with 1-hop-expanded free sets, then stop.
                 stall += 1
                 dirty = None
-                if stall >= 2:
+                if small and hops == 0:
+                    hops = 1
+                elif stall >= 2:
                     break
             else:
                 stall = 0
@@ -464,7 +476,7 @@ def _exact_component_repair(
     st, problem, pair_costs, hard, deadline,
     max_comp_verts: int = 40, max_comps: int = 200,
     milp_time_limit: float = 10.0, stats: dict | None = None,
-    dirty: set | None = None, chunk_seed: int = 0,
+    dirty: set | None = None, chunk_seed: int = 0, expand_hops: int = 0,
 ):
     """Exact MILP repair over connected components of paying triangles.
 
@@ -489,6 +501,19 @@ def _exact_component_repair(
         ts = st.tris_of(int(v))
         if len(ts):
             paying[ts] = True
+    # ... plus triangles incident to vertices matched to refs paying
+    # over-capacity penalties: un-doubling a ref needs the same coordinated
+    # reassignment chains as unflipping a triangle, and the assignment
+    # penalty (penalty_coeff per extra match) is part of the exact
+    # objective the component MILP minimizes. Measured on the paper
+    # synthetic benchmark, these seeds recover most of the double-match
+    # gap to the published Gurobi solution.
+    over = np.flatnonzero(st.u > 1)
+    if len(over):
+        for v in np.flatnonzero(np.isin(st.match_ref[: st.n], over)):
+            ts = st.tris_of(int(v))
+            if len(ts):
+                paying[ts] = True
     if not paying.any():
         return False
 
@@ -512,6 +537,18 @@ def _exact_component_repair(
         for v in verts:
             comp_of[v] = cid
     comps = [c for c in comps if c]
+    # Optional hop expansion: grow each component's free set through the
+    # triangle adjacency. Coordinated escapes (un-double a ref, unflip a
+    # triangle via an augmenting chain) often need movers one hop outside
+    # the paying region; with the boundary frozen the component MILP cannot
+    # see them. Used as a stall escalation on small windows (local_repair).
+    for _ in range(max(0, expand_hops)):
+        for comp in comps:
+            extra = set()
+            for v in comp:
+                for t in st.tris_of(v):
+                    extra.update(int(w) for w in st.tris[t])
+            comp |= extra
     # Oversized components (flip-heavy regions merge into large blobs on
     # real data) are split into BFS chunks over the triangle adjacency:
     # each chunk is solved with the rest of the component frozen as
@@ -583,6 +620,22 @@ def _exact_component_repair(
         sub_verts = free + sorted(boundary)
         local_of = {v: i for i, v in enumerate(sub_verts)}
 
+        # Skip subproblems whose local state is unchanged since they were
+        # last solved to (component) optimality — the stall passes re-enter
+        # every component, and an unchanged one cannot improve.
+        memo = getattr(st, "_comp_memo", None)
+        if memo is None:
+            memo = st._comp_memo = set()
+        sig = hash((
+            tuple(free),
+            tuple(int(st.match_pair[v]) for v in sub_verts),
+            tuple((j, int(st.u[j])) for j in sorted(
+                {int(st.match_ref[v]) for v in sub_verts
+                 if st.match_ref[v] >= 0})),
+        ))
+        if sig in memo:
+            continue
+
         # Candidate pairs: full sets for free vertices, frozen singleton
         # for boundary vertices.
         s_pairs, s_costs, s_orig = [], [], []
@@ -628,6 +681,44 @@ def _exact_component_repair(
         comp_budget = milp_time_limit
         if deadline is not None:
             comp_budget = min(comp_budget, max(deadline - _time.time(), 0.5))
+        # Eager triangle enumeration beats the lazy outer loop when the
+        # combo count is bounded: one exact HiGHS solve instead of up to
+        # max_outer_iters of them (measured ~5 s/component lazy vs
+        # sub-second eager on the paper synthetic's components).
+        cand_count = np.bincount(
+            s_pairs[:, 0].astype(np.int64), minlength=len(sub_verts)
+        ).astype(np.float64)
+        n_combos = (
+            float(np.prod(cand_count[tris_local], axis=1).sum())
+            if len(sub_tris)
+            else 0.0
+        )
+        use_eager = len(sub_tris) > 0 and n_combos <= 60000
+        # Seed the oracle's lazy-cut registry with the triples that flip
+        # under the CURRENT incumbent: its first separation round would
+        # rediscover exactly these, at the price of one extra HiGHS solve.
+        local_pair_of = {
+            (int(lv), int(lr)): k for k, (lv, lr) in enumerate(s_pairs)
+        }
+        init_cuts = []
+        for si, t in enumerate(sub_tris):
+            if not st.flipped[t]:
+                continue
+            triple = [si]
+            for v in (int(w) for w in st.tris[t]):
+                j = int(st.match_ref[v])
+                k = (
+                    local_pair_of.get((local_of[v], ref_map[j]))
+                    if (v in local_of and j in ref_map and j >= 0)
+                    else None
+                )
+                if k is None:
+                    triple = None
+                    break
+                triple.append(k)
+            if triple is not None:
+                init_cuts.append(tuple(triple))
+        t_milp0 = _time.time()
         try:
             oracle = solve_mip_oracle(
                 s_pairs, np.asarray(s_costs), len(sub_verts), len(sub_refs),
@@ -646,12 +737,28 @@ def _exact_component_repair(
                     1e7 if hard else (st.flip_pen if st.flip_pen > 0 else 0.0)
                 ),
                 lazy_allowed_flip_fraction=0.0,
-                max_outer_iters=10,
-                mip_gap=1e-5,
+                max_outer_iters=6,
+                # Loose relative gap: proving the last ~0.1% of a component
+                # bound costs HiGHS multiples of finding the solution
+                # (measured 6.4 s/call at 1e-5 vs sub-second at 2e-3), and
+                # the rollback below already discards non-improvements.
+                mip_gap=2e-3,
                 time_limit=comp_budget,
+                init_cuts=None if use_eager else init_cuts,
+                eager_triangles=use_eager,
             )
         except Exception:
             continue
+        finally:
+            if stats is not None:
+                stats["milp_calls"] = stats.get("milp_calls", 0) + 1
+                stats["milp_time"] = (
+                    stats.get("milp_time", 0.0) + (_time.time() - t_milp0)
+                )
+        if oracle.status == 0:
+            # Solved to (component) optimality for this local state: stall
+            # passes can skip it until a neighbor changes the state.
+            memo.add(sig)
         # Apply the component optimum through the incremental state. The
         # oracle's separation loop can terminate before converging
         # (max_outer_iters / time_limit), in which case its solution may
@@ -693,4 +800,14 @@ def _exact_component_repair(
             for v, p_old, j_old in snapshot:
                 if int(st.match_pair[v]) != p_old:
                     st.apply(v, p_old, j_old)
+        elif not worse and oracle.status == 0:
+            # The applied state IS the component optimum — memoize it too
+            # so the next pass skips straight past it.
+            memo.add(hash((
+                tuple(free),
+                tuple(int(st.match_pair[v]) for v in sub_verts),
+                tuple((j, int(st.u[j])) for j in sorted(
+                    {int(st.match_ref[v]) for v in sub_verts
+                     if st.match_ref[v] >= 0})),
+            )))
     return timed_out

@@ -231,11 +231,19 @@ def solve_with_tearing(
     # ``device_loop``: "force" pins the fused loop (sharded path, benches),
     # False pins the host loop, True/"auto" applies the heuristic.
     force_device = device_loop == "force"
+    # The effective platform honors jax.default_device(cpu) contexts (the
+    # small-window fast path in core.solve_prepared routes sub-512-cell
+    # problems to the host CPU while the process backend stays TPU).
+    _default_dev = getattr(jax.config, "jax_default_device", None)
+    effective_platform = (
+        _default_dev.platform if _default_dev is not None
+        else jax.default_backend()
+    )
     use_device = (
         bool(device_loop)
         and T > 0
         and not _DEVICE_LOOP_DISABLED["flag"]
-        and (force_device or n >= 512 or jax.default_backend() != "cpu")
+        and (force_device or n >= 512 or effective_platform != "cpu")
         # The round-1 ">120k elements" fault was root-caused to single XLA
         # executions exceeding the tunneled-TPU worker watchdog (~60s): the
         # per-solve bidding-round budget was mistakenly captured before its
@@ -646,7 +654,11 @@ def _finish_solve(
             if n <= 1024:
                 repair_budget = 300.0
             elif n <= 4096:
-                repair_budget = max(60.0, min(2.0 * sep_elapsed, 240.0))
+                # Medium windows (the heart/tongue regime): quality parity
+                # is decided by the exact component MILPs here — the
+                # published heart violation rate (~5%) needs the deeper
+                # budget (8.6% at 120 s vs 4.9% at ~550 s, measured).
+                repair_budget = max(120.0, min(3.0 * sep_elapsed, 600.0))
             else:
                 repair_budget = max(30.0, min(0.75 * sep_elapsed, 90.0))
             repair_deadline = t_eval_end + repair_budget
