@@ -64,8 +64,10 @@ def test_synthetic_paper_config_parity():
     )
     result = evaluate_synthetic(matches, mcs["ref"], mcs["align"])
     # Published (docs/tutorials/synthetic_benchmark.html): 372 matches,
-    # 100.0% accuracy, 46(+2) violation nodes. Violations vary with the
-    # time-budgeted repair; assert the achievable band.
+    # 100.0% accuracy, 46(+2) violation nodes; the recovered Gurobi
+    # solution (examples/recover_reference_matching.py) scores 12623.16
+    # with 48 nodes under our objective. The end-to-end solve measures
+    # 12662 / 54 nodes (0.31% above Gurobi); assert the stable band.
     assert result["matches"] == 372
     assert result["ct_accuracy_pct"] >= 98.0
-    assert result["violation_nodes"] <= 110
+    assert result["violation_nodes"] <= 65
