@@ -102,7 +102,16 @@ def main():
     ap.add_argument("--dp", type=float, default=10)
     ap.add_argument("--skip-oracle", action="store_true")
     ap.add_argument("--skip-solver", action="store_true")
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (run next to a busy TPU tunnel)",
+    )
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     pw, mc_ref, mc_align = build_window(args.dp)
     print(

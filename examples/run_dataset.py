@@ -211,7 +211,16 @@ def main():
     ap.add_argument("--knn", type=int, default=8)
     ap.add_argument("--ms", type=int, default=None)
     ap.add_argument("--json", default=None, help="write evaluation JSON here")
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (run next to a busy TPU tunnel)",
+    )
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from same_tpu import greedy_triangle_collapse, sliding_window_matching
 

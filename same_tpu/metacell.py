@@ -355,6 +355,27 @@ def unpack_metacell_matches(
     from scipy.optimize import linear_sum_assignment
     from scipy.spatial.distance import cdist
 
+    # MetaCell duck-typing, same convention as run_same /
+    # sliding_window_matching: passing the collapse result object supplies
+    # both the metacell table and the original-cell table (+ index column)
+    # it was built from, so ``strategy='nearest'`` works out of the box.
+    if hasattr(metacell_aligned_df, "metacell_df"):
+        mc = metacell_aligned_df
+        metacell_aligned_df = mc.metacell_df
+        if aligned_df is None:
+            aligned_df = mc.original_df
+            if aligned_original_idx_col is None:
+                aligned_original_idx_col = mc.original_idx_col
+        if x_col == "X" and mc.x_col != "X":
+            x_col, y_col = mc.x_col, mc.y_col
+    if hasattr(metacell_ref_df, "metacell_df"):
+        mc = metacell_ref_df
+        metacell_ref_df = mc.metacell_df
+        if ref_df is None:
+            ref_df = mc.original_df
+            if ref_original_idx_col is None:
+                ref_original_idx_col = mc.original_idx_col
+
     aligned_indexed = ref_indexed = None
     if aligned_df is not None and aligned_original_idx_col is not None:
         if aligned_original_idx_col not in aligned_df.columns:

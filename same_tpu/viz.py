@@ -335,3 +335,77 @@ def plot_accuracy_violation_sweep(sweep_df, label_col="dp", figsize=(6, 5)):
     ax.set_title("Accuracy / tearing frontier")
     fig.tight_layout()
     return fig
+
+
+def plot_knn_sweep(sweep_df, figsize=(7, 4)):
+    """Fig-S4-style panel: accuracy and violation fraction vs candidate kNN
+    (reference examples/heart/run_parameter_sweep.sh kNN sweep).
+
+    Expects columns ``knn``, ``ct_accuracy`` (0-1), ``violation_frac`` (0-1).
+    """
+    import matplotlib.pyplot as plt
+
+    df = sweep_df.sort_values("knn")
+    fig, ax = plt.subplots(figsize=figsize)
+    ax.plot(df["knn"], 100 * df["ct_accuracy"], "o-", color="#5B8DEF",
+            label="cell-type accuracy")
+    ax.set_xlabel("kNN candidates per query cell")
+    ax.set_ylabel("cell-type accuracy (%)", color="#5B8DEF")
+    ax2 = ax.twinx()
+    ax2.plot(df["knn"], 100 * df["violation_frac"], "s--", color="#E8590C",
+             label="violation nodes")
+    ax2.set_ylabel("violation nodes (%)", color="#E8590C")
+    ax.set_title("Candidate-set size sweep")
+    fig.tight_layout()
+    return fig
+
+
+def plot_ms_dp_heatmap(sweep_df, value="ct_accuracy", scale=100.0,
+                       fmt="{:.1f}", figsize=(7, 3.2)):
+    """Fig-S6/S7-style heatmap: a metric over the MS x dp grid
+    (reference examples/heart/run_parameter_sweep.sh MS/dp sweep).
+
+    Expects columns ``ms``, ``dp`` and ``value``; ``scale`` converts
+    fractions to percent for display.
+    """
+    import matplotlib.pyplot as plt
+
+    pivot = sweep_df.pivot_table(index="ms", columns="dp", values=value)
+    fig, ax = plt.subplots(figsize=figsize)
+    im = ax.imshow(pivot.to_numpy() * scale, aspect="auto", cmap="viridis")
+    ax.set_xticks(range(len(pivot.columns)), [f"{c:g}" for c in pivot.columns])
+    ax.set_yticks(range(len(pivot.index)), [f"{i:g}" for i in pivot.index])
+    ax.set_xlabel("delaunay_penalty (dp)")
+    ax.set_ylabel("max metacell size (MS)")
+    for r in range(pivot.shape[0]):
+        for c in range(pivot.shape[1]):
+            v = pivot.to_numpy()[r, c] * scale
+            if np.isfinite(v):
+                ax.text(c, r, fmt.format(v), ha="center", va="center",
+                        color="white", fontsize=8)
+    fig.colorbar(im, ax=ax, label=value)
+    ax.set_title(f"{value} over MS x dp")
+    fig.tight_layout()
+    return fig
+
+
+def plot_noise_robustness(noise_df, baseline_pct=None, figsize=(6, 4)):
+    """Fig-S5-style panel: accuracy vs Dirichlet label-noise level
+    (reference examples/heart/run_robustness.sh).
+
+    Expects columns ``noise`` and ``accuracy_pct``.
+    """
+    import matplotlib.pyplot as plt
+
+    df = noise_df.sort_values("noise")
+    fig, ax = plt.subplots(figsize=figsize)
+    ax.plot(df["noise"], df["accuracy_pct"], "o-", color="#5B8DEF")
+    if baseline_pct is not None:
+        ax.axhline(baseline_pct, ls=":", color="#999999",
+                   label=f"image-only baseline ({baseline_pct:.1f}%)")
+        ax.legend()
+    ax.set_xlabel("Dirichlet mixture noise $\\eta$")
+    ax.set_ylabel("1-NN cell-type accuracy (%)")
+    ax.set_title("Label-noise robustness")
+    fig.tight_layout()
+    return fig

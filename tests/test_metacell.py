@@ -107,6 +107,32 @@ def test_unpack_nearest_with_tiling():
     assert got[0] == 0 and got[2] == 0  # both near points reuse ref 0 via tiling
 
 
+def test_unpack_accepts_metacell_objects(rng):
+    # Passing MetaCell collapse results directly (the notebook / sweep
+    # calling convention) must supply metacell_df + original_df + id col.
+    df = _cells(rng)
+    mc_a = greedy_triangle_collapse(
+        df, max_metacell_size=3, r_max=2, return_object=True, verbose=False
+    )
+    mc_r = greedy_triangle_collapse(
+        df, max_metacell_size=3, r_max=2, return_object=True, verbose=False
+    )
+    n = min(len(mc_a.metacell_df), len(mc_r.metacell_df), 20)
+    matches = pd.DataFrame(
+        {"Aligned_metacell_id": np.arange(n), "Ref_metacell_id": np.arange(n)}
+    )
+    out = unpack_metacell_matches(matches, mc_a, mc_r, strategy="nearest")
+    assert {"Aligned_cell_id", "Ref_cell_id"} <= set(out.columns)
+    # Every aligned member of the matched metacells appears exactly once.
+    expect = sorted(
+        m for ms in mc_a.metacell_df.iloc[:n]["members"] for m in ms
+    )
+    assert sorted(out["Aligned_cell_id"].tolist()) == expect
+    # Ref ids are drawn from the matched ref metacells' members.
+    allowed = {m for ms in mc_r.metacell_df.iloc[:n]["members"] for m in ms}
+    assert set(out["Ref_cell_id"]) <= allowed
+
+
 def test_metacell_roundtrip_helpers(rng):
     df = _cells(rng)
     mc = greedy_triangle_collapse(
