@@ -570,12 +570,14 @@ def solve_prepared(
                 max_cuts=solver["lazy_max_cuts"],
                 max_cuts_per_round=solver["lazy_max_cuts_per_incumbent"],
                 max_tear_rounds=solver["tpu_max_tear_rounds"],
+                plateau_patience=solver.get("tpu_tear_patience", 6),
                 eps_final=eps,
                 eps_scaling=float(solver["tpu_eps_scaling"]),
                 hard=optim["hard_spatial_constraints"],
                 device_loop=solver.get("tpu_device_loop", "auto"),
                 prices0=pw.prices0,
                 deadline=deadline,
+                repair_budget=solver.get("tpu_repair_budget"),
                 verbose=verbose,
             )
 
@@ -780,6 +782,7 @@ def finalize_window(
                 "stage_times": {
                     k: round(float(v), 4) for k, v in pw.stage_times.items()
                 },
+                "repair_stats": result.info.get("repair_stats", {}),
             },
         }
         with open(os.path.join(outprefix, "solver_state.json"), "w") as f:

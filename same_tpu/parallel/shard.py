@@ -217,6 +217,7 @@ def solve_windows_sharded(
             ],
             hards=[bool(p.optim["hard_spatial_constraints"]) for p in pws],
             eps_finals=[p.eps_solver for p in pws],
+            penalty_coeffs=[float(p.optim["penalty_coeff"]) for p in pws],
             eps_scaling=float(solver0["tpu_eps_scaling"]),
             max_cuts=solver0["lazy_max_cuts"],
             max_cuts_per_round=solver0["lazy_max_cuts_per_incumbent"],

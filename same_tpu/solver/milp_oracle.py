@@ -48,6 +48,7 @@ def solve_mip_oracle(
     max_outer_iters: int = 50,
     mip_gap: float = 1e-6,
     time_limit: Optional[float] = None,
+    node_limit: Optional[int] = None,
     init_cuts: Optional[list] = None,
     eager_triangles: bool = False,
 ) -> OracleResult:
@@ -184,6 +185,12 @@ def solve_mip_oracle(
             rloc += 1
         A = sparse.csr_matrix((vv, (rr, cc)), shape=(rloc, nv))
         options = {"mip_rel_gap": mip_gap}
+        if node_limit is not None:
+            # Unlike a wall-clock limit, a node limit cuts the search at a
+            # DETERMINISTIC point: repeated solves of the same model return
+            # the same incumbent regardless of machine load (the component
+            # repair relies on this for reproducible quality).
+            options["node_limit"] = int(node_limit)
         if time_limit is not None:
             # The limit covers the whole call: outer iterations share it.
             options["time_limit"] = max(

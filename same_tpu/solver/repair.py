@@ -443,7 +443,17 @@ def local_repair(
         # bounded by the deadline and the quality is decided here (paper
         # synthetic flip counts; heart violation parity).
         small = n <= 4096
-        for pass_idx in range(8):
+        # Small windows keep rotating chunk seeds until the budget runs
+        # out or the stall tolerance trips: every pass only improves, the
+        # quality-deciding component MILPs are root-bound wall-clock-
+        # limited HiGHS runs whose cut-off point jitters with load, and a
+        # later rotation regularly unlocks an escape an earlier identical
+        # state missed (measured band on the paper synthetic: 54-63
+        # violation nodes at 8 passes, consistently <=55 with extended
+        # rotations).
+        max_passes = 24 if n <= 1024 else 8
+        stall_limit = 4 if n <= 1024 else 2
+        for pass_idx in range(max_passes):
             obj_before = st.obj
             st.changed = set()
             timed_out = _exact_component_repair(
@@ -463,7 +473,7 @@ def local_repair(
                 dirty = None
                 if small and hops == 0:
                     hops = 1
-                elif stall >= 2:
+                elif stall >= stall_limit:
                     break
             else:
                 stall = 0
@@ -475,7 +485,8 @@ def local_repair(
 def _exact_component_repair(
     st, problem, pair_costs, hard, deadline,
     max_comp_verts: int = 40, max_comps: int = 200,
-    milp_time_limit: float = 10.0, stats: dict | None = None,
+    milp_time_limit: float = 10.0, milp_node_limit: int | None = None,
+    stats: dict | None = None,
     dirty: set | None = None, chunk_seed: int = 0, expand_hops: int = 0,
 ):
     """Exact MILP repair over connected components of paying triangles.
@@ -744,6 +755,7 @@ def _exact_component_repair(
                 # the rollback below already discards non-improvements.
                 mip_gap=2e-3,
                 time_limit=comp_budget,
+                node_limit=milp_node_limit,
                 init_cuts=None if use_eager else init_cuts,
                 eager_triangles=use_eager,
             )
@@ -752,8 +764,10 @@ def _exact_component_repair(
         finally:
             if stats is not None:
                 stats["milp_calls"] = stats.get("milp_calls", 0) + 1
-                stats["milp_time"] = (
-                    stats.get("milp_time", 0.0) + (_time.time() - t_milp0)
+                dt_milp = _time.time() - t_milp0
+                stats["milp_time"] = stats.get("milp_time", 0.0) + dt_milp
+                stats.setdefault("milp_call_log", []).append(
+                    (len(free), len(sub_tris), round(dt_milp, 2))
                 )
         if oracle.status == 0:
             # Solved to (component) optimality for this local state: stall
@@ -794,13 +808,20 @@ def _exact_component_repair(
                 else np.zeros(0, np.int64)
             )
             worse = bool(st.local_flips(inc).any())
-        if worse and any(
+        applied_change = any(
             int(st.match_pair[v]) != p for v, p, _ in snapshot
-        ):
+        )
+        if worse and applied_change:
             for v, p_old, j_old in snapshot:
                 if int(st.match_pair[v]) != p_old:
                     st.apply(v, p_old, j_old)
-        elif not worse and oracle.status == 0:
+        # NOTE: timed-out no-improvement states are deliberately NOT
+        # memoized: the hard components are root-bound in HiGHS (cut/
+        # heuristic loops at node 0), where a wall-clock limit cuts at a
+        # load-dependent point — a later re-solve of the same state can
+        # genuinely improve (measured on the paper synthetic: memoizing
+        # them cost +3.5% objective for a ~5% wall saving).
+        if not worse and oracle.status == 0:
             # The applied state IS the component optimum — memoize it too
             # so the next pass skips straight past it.
             memo.add(hash((

@@ -156,12 +156,14 @@ def solve_with_tearing(
     max_cuts: Optional[int] = None,
     max_cuts_per_round: int = 1000,
     max_tear_rounds: int = 25,
+    plateau_patience: int = 6,
     eps_final: float = 1e-2,
     eps_scaling: float = 4.0,
     hard: bool = False,
     device_loop="auto",
     prices0: Optional[np.ndarray] = None,
     deadline: Optional[float] = None,
+    repair_budget: Optional[float] = None,
     verbose: bool = False,
 ) -> TearingResult:
     """Solve the matching problem with lazy orientation-cut separation.
@@ -266,6 +268,7 @@ def solve_with_tearing(
                     allowed_flip_fraction
                     if allowed_flip_fraction is not None else None
                 ),
+                penalty_coeff=float(penalty_coeff),
                 max_cuts=max_cuts,
                 max_cuts_per_round=max_cuts_per_round,
                 max_tear_rounds=max_tear_rounds,
@@ -305,6 +308,23 @@ def solve_with_tearing(
         pair_idx_dev = jnp.asarray(problem.pair_idx)
         cand_ref_dev = jnp.asarray(problem.cand_ref)
         last_rounds = 0
+        # Plateau detection: score each incumbent with the same flips-pay
+        # search objective _finish_solve ranks by (base assignment cost +
+        # dp * flipped weight beyond the budget allowance) and stop once it
+        # hasn't improved for ``plateau_patience`` rounds — on zero-budget
+        # instances the flip count oscillates long before max_tear_rounds,
+        # and every extra round is a full auction re-solve.
+        nm_host = np.asarray(problem.nm_cost[:n], np.float64)
+        _checkable_w = (
+            float(tri_weights[source_signs_np != 0].sum()) if T else 0.0
+        )
+        _W_A = (
+            float(delaunay_penalty)
+            * max(float(allowed_flip_fraction or 0.0), 0.0)
+            * _checkable_w
+        )
+        best_score = np.inf
+        rounds_since_improve = 0
 
         for tear_round in range(max(1, max_tear_rounds)):
             if (
@@ -408,6 +428,35 @@ def solve_with_tearing(
                 break
             if max_cuts is not None and cuts_added >= max_cuts:
                 break
+            matched = match_pair >= 0
+            base_score = (
+                float(pair_costs[match_pair[matched]].sum())
+                + float(nm_host[~matched].sum())
+                + float(penalty_coeff)
+                * float(
+                    np.maximum(
+                        np.bincount(
+                            match_ref[matched], minlength=problem.n_ref
+                        )
+                        - 1,
+                        0,
+                    ).sum()
+                )
+            )
+            flip_w = float(tri_weights[flipped].sum()) if T else 0.0
+            score = base_score + max(
+                0.0, float(delaunay_penalty) * flip_w - _W_A
+            )
+            if score < best_score - max(1e-9, 1e-9 * abs(best_score)):
+                best_score = score
+                rounds_since_improve = 0
+            else:
+                rounds_since_improve += 1
+                if (
+                    plateau_patience is not None
+                    and rounds_since_improve >= plateau_patience
+                ):
+                    break
 
             # Register cuts for flipped triangles (reference caps semantics);
             # surcharge the cheapest-to-move pair, precomputed on device.
@@ -455,6 +504,7 @@ def solve_with_tearing(
         incumbents, cut_tris, cut_verts_list, cut_pairs_list,
         cuts_added, rounds_used, time_limit_reached, t_sep_start,
         allowed_flip_fraction=allowed_flip_fraction,
+        repair_budget_override=repair_budget,
     )
 
 
@@ -498,6 +548,7 @@ def _finish_solve(
     incumbents, cut_tris, cut_verts_list, cut_pairs_list,
     cuts_added, rounds_used, time_limit_reached, t_sep_start,
     allowed_flip_fraction=None,
+    repair_budget_override=None,
 ) -> TearingResult:
     """Incumbent evaluation under the final cut set + local repair + result.
 
@@ -651,7 +702,12 @@ def _finish_solve(
             # their component MILPs are cheap and quality-critical (the
             # synthetic benchmark's flip count is decided here).
             sep_elapsed = t_sep_end - t_sep_start
-            if n <= 1024:
+            if repair_budget_override is not None:
+                # Caller-set dial (solver_params['tpu_repair_budget']): the
+                # exact component MILPs are the quality/wall-clock tradeoff
+                # — the analog of Gurobi's time_limit on this pipeline.
+                repair_budget = float(repair_budget_override)
+            elif n <= 1024:
                 repair_budget = 300.0
             elif n <= 4096:
                 # Medium windows (the heart/tongue regime): quality parity

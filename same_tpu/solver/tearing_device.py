@@ -41,7 +41,7 @@ def _tearing_loop(
     costs, slots, valid, nm, pair_idx, cand_ref, slot_rows, slot_cols,
     tris, tri_mask, src, ref_xy, tri_weights,
     full_schedule, warm_schedule,
-    delaunay_penalty, allowed_flip_fraction, hard,
+    delaunay_penalty, allowed_flip_fraction, penalty_coeff, hard,
     state, r_end,
     L: int, K: int, max_tear_rounds: int, max_rounds: int,
     max_cuts_per_round: int, max_cuts_total: int, carry: bool = True,
@@ -62,7 +62,7 @@ def _tearing_loop(
     def body(state):
         (extra, prices, assigned_c, owner_c, r, cuts_added, stop, cut_mem,
          cut_cnt, all_choices, all_flipped, all_checked, all_rounds,
-         best_flips, since_improve) = state
+         best_score, since_improve) = state
 
         # Warm-carry assignments and ownership across tear rounds: only the
         # newly surcharged pairs violate eps-CS at the boundary, so re-solves
@@ -129,12 +129,38 @@ def _tearing_loop(
         all_checked = all_checked.at[r].set(checked)
         all_rounds = all_rounds.at[r].set(res.rounds)
 
-        # Plateau detection: when the flip count stops improving the loop is
-        # in pay-territory (moving costs more than the q price) and further
-        # rounds only churn — the incumbent evaluation already has the best
-        # matchings.
-        improved = n_flipped < best_flips
-        best_flips = jnp.minimum(best_flips, n_flipped.astype(jnp.int32))
+        # Plateau detection on the flips-pay incumbent score — the same
+        # objective _finish_solve ranks incumbents by (base assignment cost
+        # + dp * flipped weight beyond the budget allowance). Flip COUNTS
+        # oscillate and keep drifting down long after the score has
+        # converged (measured on the ISS heart window: counts kept
+        # "improving" through all 25 rounds while the best score was set by
+        # round ~8); further rounds only churn — the incumbent evaluation
+        # already has the best matchings.
+        base_cost = jnp.sum(
+            jnp.where(is_match, costs[rows, col], nm).astype(jnp.float32)
+        )
+        m_ref = ref_xy.shape[0]
+        u_ref = jnp.zeros(m_ref, jnp.float32).at[
+            jnp.clip(match_ref, 0, m_ref - 1)
+        ].add(jnp.where(is_match, 1.0, 0.0))
+        base_cost = base_cost + penalty_coeff * jnp.sum(
+            jnp.maximum(u_ref - 1.0, 0.0)
+        )
+        flip_w = jnp.sum(jnp.where(flipped, tri_weights, 0.0))
+        checkable_w = jnp.sum(
+            jnp.where(tri_mask & (src != 0), tri_weights, 0.0)
+        )
+        allowance = (
+            delaunay_penalty
+            * jnp.maximum(allowed_flip_fraction, 0.0)
+            * checkable_w
+        )
+        score = base_cost + jnp.maximum(
+            0.0, delaunay_penalty * flip_w - allowance
+        )
+        improved = score < best_score - 1e-5 * jnp.abs(best_score) - 1e-6
+        best_score = jnp.minimum(best_score, score)
         since_improve = jnp.where(improved, 0, since_improve + 1)
 
         stop_now = (
@@ -197,7 +223,7 @@ def _tearing_loop(
         return (
             extra, res.prices, res.choice, res.owner, r + 1,
             cuts_added + added, stop, cut_mem, cut_cnt, all_choices,
-            all_flipped, all_checked, all_rounds, best_flips, since_improve,
+            all_flipped, all_checked, all_rounds, best_score, since_improve,
         )
 
     def cond(state):
@@ -226,7 +252,7 @@ def _init_state(n, C, T, K, R, prices0):
         jnp.zeros((R, T), bool),
         jnp.zeros((R, T), bool),
         jnp.zeros(R, jnp.int32),
-        jnp.int32(2**30),                      # best flip count so far
+        jnp.float32(np.inf),                   # best incumbent score so far
         jnp.int32(0),                          # rounds since improvement
     )
 
@@ -250,6 +276,7 @@ def run_tearing_device(
     ref_coords: np.ndarray,
     delaunay_penalty: float,
     allowed_flip_fraction: float,
+    penalty_coeff: float = 100.0,
     max_cuts=None,
     max_cuts_per_round: int = 1000,
     max_tear_rounds: int = 25,
@@ -325,6 +352,7 @@ def run_tearing_device(
         jnp.float32(
             allowed_flip_fraction if allowed_flip_fraction is not None else -1.0
         ),
+        jnp.float32(penalty_coeff),
         jnp.bool_(hard),
     )
     # Chunked execution: one tear round per device call keeps each XLA
@@ -420,6 +448,7 @@ def run_tearing_device_batch(
     allowed_flip_fractions,
     hards,
     eps_finals,
+    penalty_coeffs=None,
     eps_scaling: float = 4.0,
     max_cuts=None,
     max_cuts_per_round: int = 1000,
@@ -525,6 +554,11 @@ def run_tearing_device_batch(
         [(-1.0 if a is None else float(a)) for a in allowed_flip_fractions],
         np.float32,
     )
+    pc_b = (
+        np.asarray(penalty_coeffs, np.float32)
+        if penalty_coeffs is not None
+        else np.full(B, 100.0, np.float32)
+    )
     hard_b = np.asarray(hards, bool)
     prices_b = np.zeros((B, S + 1), costs_b.dtype)
     if prices0_list is not None:
@@ -558,15 +592,15 @@ def run_tearing_device_batch(
     )
 
     def one(costs, slots, valid, nm, pair_idx, cand_ref, slot_rows, slot_cols,
-            tris, tri_mask, src, ref_xy, tw, sched, warm, dp, aff, hard,
+            tris, tri_mask, src, ref_xy, tw, sched, warm, dp, aff, pc, hard,
             state, r_end):
         return _tearing_loop(
             costs, slots, valid, nm, pair_idx, cand_ref, slot_rows, slot_cols,
-            tris, tri_mask, src, ref_xy, tw, sched, warm, dp, aff, hard,
+            tris, tri_mask, src, ref_xy, tw, sched, warm, dp, aff, pc, hard,
             state, r_end, **kwargs
         )
 
-    batched = jax.jit(jax.vmap(one, in_axes=(0,) * 19 + (None,)))
+    batched = jax.jit(jax.vmap(one, in_axes=(0,) * 20 + (None,)))
 
     # Pad the batch to a multiple of the mesh size with copies of the last
     # window; padded lanes are discarded on return.
@@ -574,7 +608,8 @@ def run_tearing_device_batch(
     arrays = [
         costs_b, slots_b, valid_b, nm_b, pair_idx_b, cand_ref_b,
         slot_rows_b, slot_cols_b, tris_b,
-        tri_mask_b, src_b, ref_b, tw_b, sched_b, warm_b, dp_b, aff_b, hard_b,
+        tri_mask_b, src_b, ref_b, tw_b, sched_b, warm_b, dp_b, aff_b, pc_b,
+        hard_b,
     ]
     if mesh is not None:
         n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
@@ -604,7 +639,7 @@ def run_tearing_device_batch(
         jnp.zeros((B_pad, max_tear_rounds, T_pad), bool),
         jnp.zeros((B_pad, max_tear_rounds, T_pad), bool),
         jnp.zeros((B_pad, max_tear_rounds), jnp.int32),
-        jnp.full(B_pad, 2**30, jnp.int32),
+        jnp.full(B_pad, np.inf, jnp.float32),
         jnp.zeros(B_pad, jnp.int32),
     )
 

@@ -65,6 +65,15 @@ def init_solver_params(**overrides) -> Dict[str, Any]:
         "tpu_eps_scaling": 4.0,
         "tpu_eps_final": 1e-7,
         "tpu_max_tear_rounds": 25,
+        # Host-loop plateau patience: stop separating once the flips-pay
+        # incumbent score hasn't improved for this many rounds (None
+        # disables). Each round is a full auction re-solve; zero-budget
+        # instances oscillate long before tpu_max_tear_rounds.
+        "tpu_tear_patience": 6,
+        # Wall-clock budget (seconds) for the exact-repair phase — the
+        # quality/time dial of this pipeline (the analog of Gurobi's
+        # time_limit). None = size-based auto heuristics (tearing.py).
+        "tpu_repair_budget": None,
         # "auto": fused device loop on accelerators / large problems, host
         # separation loop otherwise. "force": always fused. False: never.
         "tpu_device_loop": "auto",

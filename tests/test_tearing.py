@@ -154,3 +154,32 @@ def test_no_triangles_degenerates_to_assignment(rng):
     )
     assert res.objective == res.assignment_objective
     assert res.tear_rounds == 1
+
+
+def test_plateau_early_stop(rng):
+    """The host loop stops once the flips-pay incumbent score plateaus.
+
+    With an aggressive patience the loop must terminate well before
+    max_tear_rounds on an instance whose flips are energetically locked in
+    (high feature cost for any non-crossing matching), and the result must
+    stay within the quality band of the full-length run.
+    """
+    (pairs, costs, n, limits, nm_cost, tris, weights, src, ref_xy) = _swap_instance(
+        rng
+    )
+    problem = build_assignment_problem(pairs, costs, n, n, limits, 100.0, nm_cost)
+    kw = dict(
+        delaunay_penalty=2.0, penalty_coeff=100.0,
+        allowed_flip_fraction=0.0, eps_final=1e-3, max_tear_rounds=30,
+        device_loop=False,
+    )
+    res_patient = solve_with_tearing(
+        problem, costs, tris, weights, src, ref_xy,
+        plateau_patience=2, **kw
+    )
+    res_full = solve_with_tearing(
+        problem, costs, tris, weights, src, ref_xy,
+        plateau_patience=None, **kw
+    )
+    assert res_patient.tear_rounds < 30
+    assert res_patient.objective <= res_full.objective * 1.10 + 1e-6
