@@ -442,7 +442,7 @@ def local_repair(
         # components when the base pass stalls: the extra MILP cost is
         # bounded by the deadline and the quality is decided here (paper
         # synthetic flip counts; heart violation parity).
-        small = n <= 4096
+        small = n <= 6144
         # Small windows keep rotating chunk seeds until the budget runs
         # out or the stall tolerance trips: every pass only improves, the
         # quality-deciding component MILPs are root-bound wall-clock-

@@ -709,12 +709,15 @@ def _finish_solve(
                 repair_budget = float(repair_budget_override)
             elif n <= 1024:
                 repair_budget = 300.0
-            elif n <= 4096:
+            elif n <= 6144:
                 # Medium windows (the heart/tongue regime): quality parity
-                # is decided by the exact component MILPs here — the
-                # published heart violation rate (~5%) needs the deeper
-                # budget (8.6% at 120 s vs 4.9% at ~550 s, measured).
-                repair_budget = max(120.0, min(3.0 * sep_elapsed, 600.0))
+                # is decided by the exact component MILPs here, and the
+                # budget must NOT be keyed to separation time — the plateau
+                # stop cut separation to a handful of rounds, and 3x that
+                # starved repair (measured on the ISS heart: 5.52%
+                # violations at 120 s vs 3.8-4.9% at 450-550 s; published
+                # Gurobi 5.0% in 6.4-20.9 min).
+                repair_budget = 450.0
             else:
                 repair_budget = max(30.0, min(0.75 * sep_elapsed, 90.0))
             repair_deadline = t_eval_end + repair_budget
