@@ -127,3 +127,50 @@ def test_local_repair_improves_and_stays_feasible(rng):
     # Capacity feasibility.
     u = np.bincount(mr2[mr2 >= 0], minlength=pb.n_ref)
     assert (u <= 1).all()
+
+
+def test_repair_budget_param_respected(rng):
+    """solver_params['tpu_repair_budget'] bounds the repair phase wall."""
+    import time
+
+    import pandas as pd
+
+    from same_tpu.core import prepare_window, solve_prepared
+
+    g = np.stack(
+        np.meshgrid(np.arange(10), np.arange(10)), -1
+    ).reshape(-1, 2) * 5.0
+    types = ["A", "B", "C"]
+    tid = (np.arange(len(g)) // 2) % 3
+
+    def frame(seed, swap):
+        r = np.random.default_rng(seed)
+        df = pd.DataFrame(g + r.normal(0, 0.3, g.shape), columns=["X", "Y"])
+        t = tid.copy()
+        if swap:
+            for s in range(4):
+                a, b = s * 10 + 2, s * 10 + 3
+                t[a], t[b] = t[b], t[a]
+        df["cell_type"] = np.asarray(types)[t]
+        for k, ty in enumerate(types):
+            df[ty] = np.where(t == k, 90.0, 5.0)
+        df["Cell_Num_Old"] = np.arange(len(df))
+        return df
+
+    pw = prepare_window(
+        frame(1, False), frame(2, True), types,
+        optim_params=dict(
+            max_matches=1, radius=8.0, knn=6, no_match_penalty=10000,
+            delaunay_penalty=8.0, penalty_coeff=100,
+        ),
+        solver_params=dict(mip_gap=0.05, tpu_repair_budget=3.0),
+        verbose=False,
+    )
+    t0 = time.time()
+    res = solve_prepared(pw, verbose=False)
+    wall = time.time() - t0
+    # The budget bounds the repair stage (3s) with bounded slop for the
+    # in-flight component MILP; separation/compile time is separate.
+    assert res.info["repair_time"] < 3.0 + 12.0
+    assert (res.match_ref >= 0).sum() > 80
+    assert wall > 0
