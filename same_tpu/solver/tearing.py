@@ -542,6 +542,52 @@ def incumbents_from_device_data(problem, T, data, verbose=False):
     return incumbents
 
 
+def _enforce_hard_feasibility(
+    problem, pair_costs, tris, source_signs, ref_coords, match_ref,
+    match_pair,
+):
+    """Clear every remaining flip by unmatching min-regret vertices.
+
+    Under ``hard_spatial_constraints`` a flipped triangle is infeasible —
+    the reference's eager hard model simply has no solution containing one.
+    For each still-flipped triangle, unmatch the vertex whose removal costs
+    least (``no_match_cost - pair_cost``); unmatching never creates a new
+    flip (it only disables orientation checks), so the loop terminates with
+    zero flips. Returns (match_ref, match_pair, n_unmatched).
+    """
+    tris = np.asarray(tris, np.int64)
+    src = np.asarray(source_signs, np.int32)
+    nm = np.asarray(problem.nm_cost[: problem.n_aligned], np.float64)
+    pair_costs = np.asarray(pair_costs, np.float64)
+    n_forced = 0
+    while True:
+        m = match_ref[tris]  # [T, 3]
+        full = (m >= 0).all(axis=1)
+        idx = np.clip(m, 0, len(ref_coords) - 1)
+        # float32 to agree exactly with matched_triangle_flips' final check.
+        p = ref_coords.astype(np.float32)[idx]  # [T, 3, 2]
+        cross = (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1]) - (
+            p[:, 1, 1] - p[:, 0, 1]
+        ) * (p[:, 2, 0] - p[:, 0, 0])
+        img = np.sign(cross).astype(np.int32)
+        flipped = full & (src != 0) & (img != 0) & (img != src)
+        if not flipped.any():
+            break
+        for t in np.nonzero(flipped)[0]:
+            verts = tris[t]
+            if (match_ref[verts] < 0).any():
+                continue  # already disabled by an earlier unmatch this pass
+            regret = [
+                nm[v] - (pair_costs[match_pair[v]] if match_pair[v] >= 0 else 0.0)
+                for v in verts
+            ]
+            v = verts[int(np.argmin(regret))]
+            match_ref[v] = -1
+            match_pair[v] = -1
+            n_forced += 1
+    return match_ref, match_pair, n_forced
+
+
 def _finish_solve(
     problem, pair_costs, tris, tri_weights, source_signs, ref_coords,
     delaunay_penalty, penalty_coeff, hard, deadline,
@@ -738,6 +784,20 @@ def _finish_solve(
                 _time.time() > deadline
             ):
                 time_limit_reached = True
+    if hard and T:
+        # Hard spatial constraints are a feasibility guarantee, not a
+        # preference: Gurobi's eager hard model (reference
+        # src/helpers.py:444-573 with no penalty slack) cannot return a
+        # flipped triangle, so neither may we. Any flip surviving the
+        # penalty loop + repair is cleared by unmatching the min-regret
+        # vertex of each offending triangle (an unmatched vertex disables
+        # the orientation check, exactly as in the reference's callback).
+        match_ref, match_pair, n_forced = _enforce_hard_feasibility(
+            problem, pair_costs, tris, source_signs,
+            np.asarray(ref_coords, np.float64), match_ref, match_pair,
+        )
+        if n_forced:
+            repair_stats["hard_unmatched"] = n_forced
     t_repair_end = _time.time()
 
     if T:

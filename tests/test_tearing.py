@@ -145,6 +145,31 @@ def test_hard_constraints(rng):
     assert res.flipped.sum() == 0
 
 
+def test_hard_constraints_guaranteed_zero_flips(rng):
+    """Hard mode returns ZERO flips even when flips are locked in.
+
+    Enormous feature costs (ct_weight=5000 >> no_match_penalty) make the
+    crossing matching the only attractive one, so the penalty loop and
+    repair alone cannot price the flips away — the final feasibility
+    enforcement (_enforce_hard_feasibility) must clear them by unmatching.
+    """
+    (pairs, costs, n, limits, nm_cost, tris, weights, src, ref_xy) = _swap_instance(
+        rng, n_swaps=4, n_side=7, ct_weight=5000.0
+    )
+    problem = build_assignment_problem(pairs, costs, n, n, limits, 100.0, nm_cost)
+    res = solve_with_tearing(
+        problem, costs, tris, weights, src, ref_xy,
+        delaunay_penalty=5.0, penalty_coeff=100.0,
+        allowed_flip_fraction=0.0, hard=True, eps_final=1e-3,
+        max_tear_rounds=6,
+    )
+    assert res.flipped.sum() == 0
+    # The enforcement may unmatch, never mismatch: capacities still hold.
+    matched = res.match_ref[res.match_ref >= 0]
+    u = np.bincount(matched, minlength=n)
+    assert (u <= 1).all()
+
+
 def test_no_triangles_degenerates_to_assignment(rng):
     (pairs, costs, n, limits, nm_cost, _t, _w, _s, ref_xy) = _swap_instance(rng)
     problem = build_assignment_problem(pairs, costs, n, n, limits, 100.0, nm_cost)
