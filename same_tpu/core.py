@@ -742,6 +742,7 @@ def finalize_window(
             "solve_time": solve_time,
             "warm_start": pw.warm_info,
             "stage_times": dict(pw.stage_times),
+            "repair_stats": result.info.get("repair_stats", {}),
         },
     }
 

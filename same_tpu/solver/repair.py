@@ -477,6 +477,28 @@ def local_repair(
                     break
             else:
                 stall = 0
+        # Final intensification: the rotation passes above run 10 s
+        # root-bound chunk MILPs; whatever budget remains buys a few LARGE
+        # long-cap solves over the worst regions — bigger free sets (and a
+        # hop of context) see coordinated escapes that chunk boundaries
+        # hide, and root-bound HiGHS keeps improving with wall-clock. Only
+        # improving solutions are applied (rollback in
+        # _exact_component_repair), so this pass is monotone like the rest.
+        if (
+            small
+            and not timed_out
+            and deadline is not None
+            and deadline - _time.time() > 15.0
+        ):
+            t_int0 = _time.time()
+            timed_out = _exact_component_repair(
+                st, problem, pair_costs, hard, deadline, stats=stats,
+                chunk_seed=101, expand_hops=1, max_comp_verts=96,
+                milp_time_limit=min(60.0, (deadline - t_int0) / 3.0),
+                max_comps=12,
+            )
+            if stats is not None:
+                stats["intensify_time"] = round(_time.time() - t_int0, 1)
     if stats is not None:
         stats["flips_out"] = int(st.local_flips(np.arange(st.T)).sum())
     return st.match_ref, st.match_pair, timed_out
