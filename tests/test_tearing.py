@@ -109,11 +109,10 @@ def test_small_dp_pays_penalty(rng):
 
 def test_large_dp_suppresses_flips(rng):
     # Large dp: solver must stop tearing (unswap / unmatch) instead of paying.
-    # Branch-and-bound can find coordinated multi-vertex escapes our
-    # separation loop + greedy repair cannot, so only loose objective parity
-    # is asserted here (exact parity holds for dp <= ~5, see tests above).
-    # TODO(solver): exact mini-MILP repair on connected flip components would
-    # close this gap — the hard region is small and local by construction.
+    # The exact component-MILP repair (repair.py) finds branch-and-bound's
+    # coordinated multi-vertex escapes, but its wall-clock caps make the
+    # exact landing point load-dependent, so only loose objective parity is
+    # asserted here (exact parity holds for dp <= ~5, see tests above).
     res, oracle = _run_both(rng, dp=50.0)
     assert res.objective <= oracle.objective * 1.35 + 0.5
     # Flips must be suppressed to (near) the oracle's level.
