@@ -143,6 +143,12 @@ def test_artifacts_roundtrip(tmp_path, benchmark):
     assert loaded["lazy_constraints"] == True
     df = pd.read_csv(out / "matches_df.csv")
     assert len(df) == len(matches)
+    # load_matching_results (reference src/helpers.py:667-689) round-trip.
+    v2, aligned2, ref2, matches2 = same_tpu.io.load_matching_results(str(out))
+    assert v2.keys() == var_out.keys()
+    assert len(aligned2) == len(sub_q) or len(aligned2) <= len(sub_q)
+    assert len(ref2) <= len(sub_r)
+    assert list(matches2.columns) == list(df.columns)
 
 
 def test_no_pairs_raises(benchmark):
