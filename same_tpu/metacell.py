@@ -375,6 +375,12 @@ def unpack_metacell_matches(
             ref_df = mc.original_df
             if ref_original_idx_col is None:
                 ref_original_idx_col = mc.original_idx_col
+        # Adopt coordinate column names from the ref-side MetaCell too:
+        # 'nearest' reads x_col/y_col from BOTH member tables, so a ref
+        # MetaCell built with non-default columns must supply them even
+        # when the aligned side is a plain DataFrame.
+        if x_col == "X" and mc.x_col != "X":
+            x_col, y_col = mc.x_col, mc.y_col
 
     aligned_indexed = ref_indexed = None
     if aligned_df is not None and aligned_original_idx_col is not None:

@@ -174,6 +174,11 @@ def solve_windows_sharded(
             results[idx] = solve_prepared(pw, deadline=deadline, verbose=verbose)
             continue
         solver = pw.solver
+        # Every solver knob consumed at batch (not per-window) granularity
+        # must be part of the key, or one window's setting would silently
+        # apply to the whole bucket. Per-window knobs (delaunay_penalty,
+        # flip fraction, eps, patience, penalty_coeff, hard) are traced
+        # arrays and need not match.
         key = (
             pw.problem.costs.shape,
             pw.problem.n_slots,
@@ -181,6 +186,7 @@ def solve_windows_sharded(
             solver["lazy_max_cuts"],
             solver["lazy_max_cuts_per_incumbent"],
             solver["tpu_max_tear_rounds"],
+            solver["tpu_eps_scaling"],
         )
         groups.setdefault(key, []).append(idx)
 
@@ -225,6 +231,9 @@ def solve_windows_sharded(
             mesh=mesh,
             prices0_list=[p.prices0 for p in pws],
             deadline=batch_deadline,
+            plateau_patiences=[
+                p.solver.get("tpu_tear_patience", 6) for p in pws
+            ],
         )
         t_sep = _time.time() - t_sep0
         if verbose:

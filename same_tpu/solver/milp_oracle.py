@@ -186,10 +186,10 @@ def solve_mip_oracle(
         A = sparse.csr_matrix((vv, (rr, cc)), shape=(rloc, nv))
         options = {"mip_rel_gap": mip_gap}
         if node_limit is not None:
-            # Unlike a wall-clock limit, a node limit cuts the search at a
-            # DETERMINISTIC point: repeated solves of the same model return
-            # the same incumbent regardless of machine load (the component
-            # repair relies on this for reproducible quality).
+            # Testing knob only. Measured caveat: these component-scale
+            # models are usually ROOT-BOUND in HiGHS (time runs out at node
+            # 0), where a node limit never binds — wall-clock is the only
+            # cut-off that does, so production repair does not use this.
             options["node_limit"] = int(node_limit)
         if time_limit is not None:
             # The limit covers the whole call: outer iterations share it.

@@ -507,7 +507,7 @@ def local_repair(
 def _exact_component_repair(
     st, problem, pair_costs, hard, deadline,
     max_comp_verts: int = 40, max_comps: int = 200,
-    milp_time_limit: float = 10.0, milp_node_limit: int | None = None,
+    milp_time_limit: float = 10.0,
     stats: dict | None = None,
     dirty: set | None = None, chunk_seed: int = 0, expand_hops: int = 0,
 ):
@@ -777,7 +777,6 @@ def _exact_component_repair(
                 # the rollback below already discards non-improvements.
                 mip_gap=2e-3,
                 time_limit=comp_budget,
-                node_limit=milp_node_limit,
                 init_cuts=None if use_eager else init_cuts,
                 eager_triangles=use_eager,
             )
@@ -788,9 +787,14 @@ def _exact_component_repair(
                 stats["milp_calls"] = stats.get("milp_calls", 0) + 1
                 dt_milp = _time.time() - t_milp0
                 stats["milp_time"] = stats.get("milp_time", 0.0) + dt_milp
-                stats.setdefault("milp_call_log", []).append(
-                    (len(free), len(sub_tris), round(dt_milp, 2))
-                )
+                log = stats.setdefault("milp_call_log", [])
+                log.append((len(free), len(sub_tris), round(dt_milp, 2)))
+                # The log feeds solver_state.json via window info dicts;
+                # uncapped it reaches thousands of entries on big windows.
+                # Keep only the slowest calls (the ones worth debugging).
+                if len(log) > 64:
+                    log.sort(key=lambda rec: -rec[2])
+                    del log[48:]
         if oracle.status == 0:
             # Solved to (component) optimality for this local state: stall
             # passes can skip it until a neighbor changes the state.

@@ -277,6 +277,7 @@ def solve_with_tearing(
                 hard=hard,
                 prices0=np.asarray(prices0) if prices0 is not None else None,
                 deadline=deadline,
+                plateau_patience=plateau_patience,
             )
         except Exception as e:  # runtime fault -> host-loop fallback
             print(

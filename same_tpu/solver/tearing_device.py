@@ -41,7 +41,7 @@ def _tearing_loop(
     costs, slots, valid, nm, pair_idx, cand_ref, slot_rows, slot_cols,
     tris, tri_mask, src, ref_xy, tri_weights,
     full_schedule, warm_schedule,
-    delaunay_penalty, allowed_flip_fraction, penalty_coeff, hard,
+    delaunay_penalty, allowed_flip_fraction, penalty_coeff, hard, patience,
     state, r_end,
     L: int, K: int, max_tear_rounds: int, max_rounds: int,
     max_cuts_per_round: int, max_cuts_total: int, carry: bool = True,
@@ -168,7 +168,9 @@ def _tearing_loop(
             | (n_flipped == 0)
             | frac_ok
             | (cuts_added >= max_cuts_total)
-            | (since_improve >= 6)
+            # Plateau patience is a traced scalar (tpu_tear_patience);
+            # negative disables the plateau stop.
+            | ((patience >= 0) & (since_improve >= patience))
             | (delaunay_penalty == 0.0) & ~hard
         )
 
@@ -288,6 +290,7 @@ def run_tearing_device(
     prices0=None,
     deadline=None,
     carry: bool = True,
+    plateau_patience=6,
 ):
     """Run the fused device tearing loop; returns host-side round data.
 
@@ -354,6 +357,7 @@ def run_tearing_device(
         ),
         jnp.float32(penalty_coeff),
         jnp.bool_(hard),
+        jnp.int32(-1 if plateau_patience is None else int(plateau_patience)),
     )
     # Chunked execution: one tear round per device call keeps each XLA
     # execution under runtime watchdog limits (long single executions can
@@ -458,6 +462,7 @@ def run_tearing_device_batch(
     mesh=None,
     prices0_list=None,
     deadline=None,
+    plateau_patiences=None,
 ):
     """Batched fused tearing loop over a window batch, sharded over ``mesh``.
 
@@ -560,6 +565,17 @@ def run_tearing_device_batch(
         else np.full(B, 100.0, np.float32)
     )
     hard_b = np.asarray(hards, bool)
+    pat_b = np.asarray(
+        [
+            -1 if p is None else int(p)
+            for p in (
+                plateau_patiences
+                if plateau_patiences is not None
+                else [6] * B
+            )
+        ],
+        np.int32,
+    )
     prices_b = np.zeros((B, S + 1), costs_b.dtype)
     if prices0_list is not None:
         for b, pr in enumerate(prices0_list):
@@ -593,14 +609,14 @@ def run_tearing_device_batch(
 
     def one(costs, slots, valid, nm, pair_idx, cand_ref, slot_rows, slot_cols,
             tris, tri_mask, src, ref_xy, tw, sched, warm, dp, aff, pc, hard,
-            state, r_end):
+            pat, state, r_end):
         return _tearing_loop(
             costs, slots, valid, nm, pair_idx, cand_ref, slot_rows, slot_cols,
             tris, tri_mask, src, ref_xy, tw, sched, warm, dp, aff, pc, hard,
-            state, r_end, **kwargs
+            pat, state, r_end, **kwargs
         )
 
-    batched = jax.jit(jax.vmap(one, in_axes=(0,) * 20 + (None,)))
+    batched = jax.jit(jax.vmap(one, in_axes=(0,) * 21 + (None,)))
 
     # Pad the batch to a multiple of the mesh size with copies of the last
     # window; padded lanes are discarded on return.
@@ -609,7 +625,7 @@ def run_tearing_device_batch(
         costs_b, slots_b, valid_b, nm_b, pair_idx_b, cand_ref_b,
         slot_rows_b, slot_cols_b, tris_b,
         tri_mask_b, src_b, ref_b, tw_b, sched_b, warm_b, dp_b, aff_b, pc_b,
-        hard_b,
+        hard_b, pat_b,
     ]
     if mesh is not None:
         n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))

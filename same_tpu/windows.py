@@ -418,7 +418,15 @@ def merge_window_matches_unique_ref(matches_list, cell_id_col="Cell_Num_Old"):
 
 
 def _max_bipartite_matching(ai, bi, n_a, n_b):
-    """Maximum-cardinality matching; returns per-aligned ref index or -1."""
+    """Maximum-cardinality matching; returns per-aligned ref index or -1.
+
+    Deterministic across backends: the Python fallback mirrors the native
+    C++ Hopcroft-Karp's traversal order exactly (adjacency in edge input
+    order, BFS/DFS in ascending left-vertex order), so the SELECTED edge
+    set — not just its cardinality — is identical whether or not
+    native/libsame_native.so is built (reference tie-break determinism,
+    src/helpers.py:755-760 + SURVEY §7.3 item 6).
+    """
     try:
         from .utils.native import native_hopcroft_karp
 
@@ -427,10 +435,80 @@ def _max_bipartite_matching(ai, bi, n_a, n_b):
             return res
     except Exception:
         pass
-    from scipy.sparse import csr_matrix
-    from scipy.sparse.csgraph import maximum_bipartite_matching
+    return _hopcroft_karp_py(ai, bi, n_a, n_b)
 
-    graph = csr_matrix(
-        (np.ones(len(ai), dtype=np.int8), (ai, bi)), shape=(n_a, n_b)
-    )
-    return maximum_bipartite_matching(graph, perm_type="column")
+
+def _hopcroft_karp_py(ai, bi, n_a, n_b):
+    """Pure-Python Hopcroft-Karp, order-identical to native same_hopcroft_karp.
+
+    Same phase structure (BFS layering from all free left vertices, then DFS
+    augmentation over left vertices in ascending order, adjacency scanned in
+    edge input order, dist[u] poisoned to INF on DFS failure) so the matched
+    edge set is bit-identical to the C++ implementation's.
+    """
+    from collections import deque
+
+    INF = np.iinfo(np.int64).max
+    adj = [[] for _ in range(n_a)]
+    for u, v in zip(ai, bi):
+        adj[int(u)].append(int(v))
+    match_l = np.full(n_a, -1, dtype=np.int64)
+    match_r = np.full(n_b, -1, dtype=np.int64)
+    dist = np.empty(n_a, dtype=np.int64)
+
+    def bfs():
+        q = deque()
+        for u in range(n_a):
+            if match_l[u] < 0:
+                dist[u] = 0
+                q.append(u)
+            else:
+                dist[u] = INF
+        found = False
+        while q:
+            u = q.popleft()
+            du = dist[u]
+            for v in adj[u]:
+                w = match_r[v]
+                if w < 0:
+                    found = True
+                elif dist[w] == INF:
+                    dist[w] = du + 1
+                    q.append(w)
+        return found
+
+    def dfs(root):
+        # Iterative DFS preserving the recursive C++ order: stack frames of
+        # (vertex, next adjacency index); on failure dist[u] = INF.
+        stack = [(root, 0)]
+        while stack:
+            u, i = stack[-1]
+            advanced = False
+            while i < len(adj[u]):
+                v = adj[u][i]
+                i += 1
+                w = match_r[v]
+                if w < 0:
+                    # Augment along the stack: each frame's current edge is
+                    # adj[u][i-1] with i already advanced.
+                    stack[-1] = (u, i)
+                    for uu, ii in reversed(stack):
+                        vv = adj[uu][ii - 1]
+                        match_r[vv] = uu
+                        match_l[uu] = vv
+                    return True
+                if dist[w] == dist[u] + 1:
+                    stack[-1] = (u, i)
+                    stack.append((w, 0))
+                    advanced = True
+                    break
+            if not advanced:
+                dist[u] = INF
+                stack.pop()
+        return False
+
+    while bfs():
+        for u in range(n_a):
+            if match_l[u] < 0:
+                dfs(u)
+    return match_l

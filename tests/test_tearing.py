@@ -207,3 +207,56 @@ def test_plateau_early_stop(rng):
     )
     assert res_patient.tear_rounds < 30
     assert res_patient.objective <= res_full.objective * 1.10 + 1e-6
+
+
+def test_plateau_patience_device_loop(rng):
+    """tpu_tear_patience is honored by the fused device loop (not just the
+    host loop): an aggressive patience stops it well before max_tear_rounds,
+    and disabling it (None -> -1 sentinel) never stops fewer rounds."""
+    (pairs, costs, n, limits, nm_cost, tris, weights, src, ref_xy) = _swap_instance(
+        rng
+    )
+    problem = build_assignment_problem(pairs, costs, n, n, limits, 100.0, nm_cost)
+    kw = dict(
+        delaunay_penalty=2.0, penalty_coeff=100.0,
+        allowed_flip_fraction=0.0, eps_final=1e-3, max_tear_rounds=30,
+        device_loop="force",
+    )
+    res_patient = solve_with_tearing(
+        problem, costs, tris, weights, src, ref_xy,
+        plateau_patience=1, **kw
+    )
+    res_off = solve_with_tearing(
+        problem, costs, tris, weights, src, ref_xy,
+        plateau_patience=None, **kw
+    )
+    assert res_patient.tear_rounds < 30
+    assert res_patient.tear_rounds <= res_off.tear_rounds
+    assert res_patient.objective <= res_off.objective * 1.10 + 1e-6
+
+
+def test_plateau_patience_batched_per_window(rng):
+    """The batched (sharded) tearing loop honors PER-WINDOW patience: the
+    same instance run in one batch with patience 1 vs disabled stops at
+    different round counts."""
+    from same_tpu.solver.tearing_device import run_tearing_device_batch
+
+    (pairs, costs, n, limits, nm_cost, tris, weights, src, ref_xy) = _swap_instance(
+        rng
+    )
+    problem = build_assignment_problem(pairs, costs, n, n, limits, 100.0, nm_cost)
+    datas = run_tearing_device_batch(
+        [problem, problem],
+        [tris, tris],
+        [weights, weights],
+        [src, src],
+        [ref_xy, ref_xy],
+        delaunay_penalties=[2.0, 2.0],
+        allowed_flip_fractions=[0.0, 0.0],
+        hards=[False, False],
+        eps_finals=[1e-3, 1e-3],
+        max_tear_rounds=30,
+        plateau_patiences=[1, None],
+    )
+    assert datas[0]["rounds_used"] < 30
+    assert datas[0]["rounds_used"] <= datas[1]["rounds_used"]

@@ -140,3 +140,50 @@ def test_commonct_inference(benchmark):
         ref_df, query_df, commonCT=None, optim_params=params, verbose=False,
     )
     assert len(matches) > 0
+
+
+def test_bipartite_matching_backends_identical():
+    """The Python Hopcroft-Karp fallback selects the IDENTICAL edge set as
+    the native C++ backend (not just the same cardinality), so merged
+    outputs do not depend on whether libsame_native.so is built
+    (SURVEY §7.3 item 6 tie-break determinism)."""
+    from same_tpu.utils.native import native_hopcroft_karp
+    from same_tpu.windows import _hopcroft_karp_py
+
+    rng = np.random.default_rng(7)
+    checked = 0
+    for trial in range(40):
+        n_a = int(rng.integers(1, 60))
+        n_b = int(rng.integers(1, 60))
+        n_e = int(rng.integers(1, 4 * max(n_a, n_b)))
+        ai = rng.integers(0, n_a, n_e)
+        bi = rng.integers(0, n_b, n_e)
+        native = native_hopcroft_karp(ai, bi, n_a, n_b)
+        if native is None:
+            pytest.skip("native library not built")
+        py = _hopcroft_karp_py(ai, bi, n_a, n_b)
+        np.testing.assert_array_equal(np.asarray(native), np.asarray(py))
+        checked += 1
+    assert checked == 40
+
+
+def test_python_hk_is_maximum():
+    """The fallback finds a true maximum-cardinality matching (vs scipy)."""
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import maximum_bipartite_matching
+
+    from same_tpu.windows import _hopcroft_karp_py
+
+    rng = np.random.default_rng(11)
+    for trial in range(25):
+        n_a = int(rng.integers(1, 80))
+        n_b = int(rng.integers(1, 80))
+        n_e = int(rng.integers(1, 5 * max(n_a, n_b)))
+        ai = rng.integers(0, n_a, n_e)
+        bi = rng.integers(0, n_b, n_e)
+        py = _hopcroft_karp_py(ai, bi, n_a, n_b)
+        graph = csr_matrix(
+            (np.ones(len(ai), dtype=np.int8), (ai, bi)), shape=(n_a, n_b)
+        )
+        sp = maximum_bipartite_matching(graph, perm_type="column")
+        assert (py >= 0).sum() == (np.asarray(sp) >= 0).sum()
