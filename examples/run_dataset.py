@@ -155,6 +155,44 @@ def evaluate_synthetic(matches, mc_ref, mc_align):
     }
 
 
+def evaluate_luad_topk(matches, mc_ref, mc_align, common, id_col):
+    """LUAD downstream evaluation (reference
+    examples/luad/reproduce_figures.ipynb cells 12-13, Fig S19): unpack the
+    metacell matches to individual cells with the 'nearest' strategy, score
+    direct cell-type agreement, then top-1/2/3 agreement of each aligned
+    cell's dominant type against its matched ref cell's probability ranking.
+    The reference unpacks ``matchedDF`` as written by the sliding-window run
+    (central-cropped, no unique-ref merge), so this does too.
+    """
+    from same_tpu import topk_type_match, unpack_metacell_matches
+
+    individual = unpack_metacell_matches(
+        matches, mc_align.metacell_df, mc_ref.metacell_df,
+        aligned_df=mc_align.original_df, ref_df=mc_ref.original_df,
+        strategy="nearest",
+        aligned_original_idx_col=id_col, ref_original_idx_col=id_col,
+    )
+    aligned_ct = mc_align.original_df.set_index(id_col)["cell_type"]
+    ref_ct = mc_ref.original_df.set_index(id_col)["cell_type"]
+    individual["aligned_celltype"] = individual["Aligned_cell_id"].map(aligned_ct)
+    individual["ref_celltype"] = individual["Ref_cell_id"].map(ref_ct)
+    ct_match = (
+        individual["aligned_celltype"] == individual["ref_celltype"]
+    ).mean()
+
+    ref_probs = mc_ref.original_df.set_index(id_col)[common]
+    individual, topk = topk_type_match(
+        individual, aligned_ct, ref_probs, common
+    )
+    return {
+        "individual_matches": int(len(individual)),
+        "individual_ct_accuracy_pct": round(100 * float(ct_match), 2),
+        "top1_pct": round(100 * topk[1], 2),
+        "top2_pct": round(100 * topk[2], 2),
+        "top3_pct": round(100 * topk[3], 2),
+    }
+
+
 def evaluate(matches, mc_ref, mc_align, common, dataset):
     """Reference-notebook evaluation: 1-NN cell-type accuracy of matched
     query cells placed at their matched ref positions, plus triangle-flip
@@ -283,6 +321,18 @@ def main():
             f"violations={result['triangle_violations_pct']}% "
             f"({result['triangles_flipped']}/{result['total_triangles']})"
         )
+        if args.dataset == "luad":
+            result.update(
+                evaluate_luad_topk(
+                    matches, mc_ref, mc_align, common, cfg["id_col"]
+                )
+            )
+            print(
+                f"LUAD top-k (Fig S19): {result['individual_matches']} "
+                f"individual matches, ct={result['individual_ct_accuracy_pct']}% "
+                f"top-1/2/3 = {result['top1_pct']}/{result['top2_pct']}/"
+                f"{result['top3_pct']}%"
+            )
     if args.json:
         import json
 

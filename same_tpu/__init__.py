@@ -24,6 +24,7 @@ from .eval import (
     check_alignment,
     check_triangle_violations,
     print_violation_report,
+    topk_type_match,
     verify_spatial_preservation,
 )
 from .geometry import calculate_signed_area, signed_area_terms
@@ -56,6 +57,7 @@ __all__ = [
     "find_knn_with_cell_type_priority",
     "check_alignment",
     "check_triangle_violations",
+    "topk_type_match",
     "verify_spatial_preservation",
     "print_violation_report",
     "calculate_signed_area",

@@ -312,3 +312,61 @@ def check_triangle_violations(
     if verbose:
         print(stats)
     return outputDF, stats
+
+
+def topk_type_match(
+    individual_matches,
+    aligned_types,
+    ref_probs,
+    cell_types,
+    ks=(1, 2, 3),
+    aligned_col="Aligned_cell_id",
+    ref_col="Ref_cell_id",
+):
+    """Top-k cell-type agreement over an unpacked match table (Fig S19).
+
+    Semantics of reference examples/luad/reproduce_figures.ipynb cells
+    12-13: a matched pair scores a top-k hit when the aligned cell's
+    dominant type is among the ``k`` highest-probability types of its
+    matched REF cell. Rows whose ref id has no probability row (or whose
+    aligned id has no type label) score False but STAY in the denominator,
+    exactly as the reference's vectorized evaluation does.
+
+    Parameters
+    ----------
+    individual_matches : DataFrame with ``aligned_col`` / ``ref_col``
+        (the ``unpack_metacell_matches`` output shape).
+    aligned_types : Series mapping aligned cell id -> dominant cell type
+        (e.g. ``original_df.set_index(id_col)['cell_type']``).
+    ref_probs : DataFrame indexed by ref cell id whose columns include
+        ``cell_types`` (per-type probabilities or scores).
+    cell_types : list of type-column names; order defines tie-breaking via
+        ``np.argpartition`` (matches the reference).
+    ks : iterable of k values to score.
+
+    Returns ``(matches_with_top_k_columns, {k: fraction})``.
+    """
+    out = individual_matches.copy()
+    cell_types = list(cell_types)
+    ct_array = np.asarray(cell_types)
+
+    probs = ref_probs[cell_types].astype(float)
+    valid = out[ref_col].isin(probs.index).to_numpy()
+    ref_rows = probs.loc[out.loc[valid, ref_col]].to_numpy()
+
+    dom = out[aligned_col].map(aligned_types)
+    dom_valid = dom.to_numpy()[valid]
+
+    scores = {}
+    for k in ks:
+        k = int(k)
+        hits = np.zeros(len(out), dtype=bool)
+        if len(ref_rows) and 0 < k <= ref_rows.shape[1]:
+            top_k_idx = np.argpartition(ref_rows, -k, axis=1)[:, -k:]
+            top_k_types = ct_array[top_k_idx]
+            hits[valid] = np.any(
+                top_k_types == dom_valid[:, np.newaxis], axis=1
+            )
+        out[f"top_{k}_match"] = hits
+        scores[k] = float(hits.mean()) if len(out) else 0.0
+    return out, scores

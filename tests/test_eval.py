@@ -140,3 +140,97 @@ def test_dirichlet_noise_monotone_degradation(rng):
     assert accs[0] == 1.0
     assert accs[0] >= accs[1] >= accs[2]
     assert accs[2] < 0.8
+
+
+class TestTopkTypeMatch:
+    """topk_type_match reproduces reference LUAD notebook cells 12-13."""
+
+    def _fixture(self):
+        import pandas as pd
+
+        matches = pd.DataFrame(
+            {
+                "Aligned_cell_id": [0, 1, 2, 3],
+                "Ref_cell_id": ["r0", "r1", "r2", "r_missing"],
+            }
+        )
+        aligned_types = pd.Series(["a", "b", "c", "a"], index=[0, 1, 2, 3])
+        # r0: a dominant; r1: a > b > c (b only matches at k=2);
+        # r2: a > b > c (c only matches at k=3); r_missing absent.
+        ref_probs = pd.DataFrame(
+            {
+                "a": [0.9, 0.5, 0.5],
+                "b": [0.05, 0.3, 0.3],
+                "c": [0.05, 0.2, 0.2],
+            },
+            index=["r0", "r1", "r2"],
+        )
+        return matches, aligned_types, ref_probs
+
+    def test_scores(self):
+        from same_tpu.eval import topk_type_match
+
+        matches, types, probs = self._fixture()
+        out, scores = topk_type_match(matches, types, probs, ["a", "b", "c"])
+        # k=1: only row 0 (a vs top-1 a). Missing ref row counts in denom.
+        assert scores[1] == pytest.approx(1 / 4)
+        # k=2: rows 0 and 1 (b in {a,b}).
+        assert scores[2] == pytest.approx(2 / 4)
+        # k=3: rows 0, 1, 2; missing-ref row still False.
+        assert scores[3] == pytest.approx(3 / 4)
+        for k in (1, 2, 3):
+            assert f"top_{k}_match" in out.columns
+        assert not out["top_1_match"].iloc[3]
+
+    def test_missing_aligned_type_counts_false(self):
+        import pandas as pd
+
+        from same_tpu.eval import topk_type_match
+
+        matches, types, probs = self._fixture()
+        types = types.drop(0)  # row 0's aligned id now has no type label
+        out, scores = topk_type_match(matches, types, probs, ["a", "b", "c"])
+        assert scores[1] == 0.0
+        assert scores[3] == pytest.approx(2 / 4)
+
+    def test_reference_parity_vectorization(self):
+        """Against a direct transcription of the reference's notebook code."""
+        import pandas as pd
+
+        rng = np.random.default_rng(5)
+        cts = ["t0", "t1", "t2", "t3", "t4"]
+        n = 200
+        matches = pd.DataFrame(
+            {
+                "Aligned_cell_id": np.arange(n),
+                "Ref_cell_id": rng.integers(0, 150, n),
+            }
+        )
+        types = pd.Series(rng.choice(cts, n), index=np.arange(n))
+        probs = pd.DataFrame(
+            rng.random((120, len(cts))), columns=cts, index=np.arange(120)
+        )
+        from same_tpu.eval import topk_type_match
+
+        out, scores = topk_type_match(matches, types, probs, cts)
+
+        # Reference transcription (reproduce_figures.ipynb cell 13).
+        valid = matches["Ref_cell_id"].isin(probs.index)
+        ref_rows = probs[cts].astype(float).loc[
+            matches.loc[valid, "Ref_cell_id"]
+        ].values
+        ct_array = np.array(cts)
+        dom_types = (
+            matches["Aligned_cell_id"].map(types).to_numpy()[valid.to_numpy()]
+        )
+        for k in [1, 2, 3]:
+            expect = np.zeros(len(matches), dtype=bool)
+            top_k_idx = np.argpartition(ref_rows, -k, axis=1)[:, -k:]
+            top_k_types = ct_array[top_k_idx]
+            expect[valid.values] = np.any(
+                top_k_types == dom_types[:, np.newaxis], axis=1
+            )
+            np.testing.assert_array_equal(
+                out[f"top_{k}_match"].to_numpy(), expect
+            )
+            assert scores[k] == pytest.approx(expect.mean())
