@@ -240,6 +240,93 @@ def evaluate(matches, mc_ref, mc_align, common, dataset):
     }
 
 
+def run_and_evaluate(
+    dataset, data_dir, dp=10, knn=8, ms=None, out=None, solver_overrides=None,
+    optim_overrides=None,
+):
+    """Collapse -> sliding windows -> reference-notebook evaluation.
+
+    The callable core of this script (used by the parity regression tests,
+    tests/test_real_datasets.py). Returns the evaluation dict.
+    """
+    from same_tpu import greedy_triangle_collapse, sliding_window_matching
+
+    ref, align, common, cfg = LOADERS[dataset](data_dir)
+    ms = ms if ms is not None else (3 if dataset == "luad" else 1)
+    print(f"{dataset}: ref={ref.shape}, align={align.shape}, MS={ms}")
+
+    min_angle = cfg.get("min_angle_deg", 15)
+    mc_align = greedy_triangle_collapse(
+        align, cell_type_col="cell_type", original_idx_col=cfg["id_col"],
+        x_col="X", y_col="Y", max_metacell_size=ms, r_max=cfg["r_max"],
+        min_angle_deg=min_angle, use_alpha_shape=False, return_object=True,
+    )
+    mc_ref = greedy_triangle_collapse(
+        ref, cell_type_col="cell_type", original_idx_col=cfg["id_col"],
+        x_col="X", y_col="Y", max_metacell_size=ms, r_max=cfg["r_max"],
+        min_angle_deg=min_angle, use_alpha_shape=False, return_object=True,
+    )
+
+    optim = dict(
+        window_size=cfg["window_size"], overlap=cfg["overlap"],
+        min_cells_per_window=30, max_matches=cfg.get("max_matches", 1),
+        radius=cfg["radius"], knn=knn, no_match_penalty=10000,
+        dist_ct_coeff=1, penalty_coeff=100, delaunay_penalty=dp,
+        cell_id_col="metacell_id", ref_metacell_match_multiplier=ms,
+        min_angle_deg=min_angle,
+        ignore_same_type_triangles=cfg.get("ignore_same_type_triangles", True),
+    )
+    optim.update(optim_overrides or {})
+    solver = dict(
+        mip_gap=cfg.get("mip_gap", 0.05),
+        lazy_allowed_flip_fraction=(
+            0.0 if dataset == "synthetic" else 0.05
+        ),
+    )
+    solver.update(solver_overrides or {})
+
+    t0 = time.time()
+    matches = sliding_window_matching(
+        mc_ref, mc_align, outprefix=out,
+        optim_params=optim, solver_params=solver,
+    )
+    minutes = (time.time() - t0) / 60
+    print(
+        f"Done in {minutes:.1f} min — {len(matches)} matches, "
+        f"{matches['triangle_violation'].mean():.1%} violation nodes"
+    )
+
+    if dataset == "synthetic":
+        result = evaluate_synthetic(matches, mc_ref, mc_align)
+        result.update(dp=dp, knn=knn, ms=ms, minutes=round(minutes, 2))
+        print(
+            f"Eval: accuracy={result['ct_accuracy_pct']}% "
+            f"violation_nodes={result['violation_nodes']} "
+            f"(+{result['in_violating_only']} in_violating_only)"
+        )
+    else:
+        result = evaluate(matches, mc_ref, mc_align, common, dataset)
+        result.update(dp=dp, knn=knn, ms=ms, minutes=round(minutes, 2))
+        print(
+            f"Eval: accuracy={result['ct_accuracy_pct']}% "
+            f"violations={result['triangle_violations_pct']}% "
+            f"({result['triangles_flipped']}/{result['total_triangles']})"
+        )
+        if dataset == "luad":
+            result.update(
+                evaluate_luad_topk(
+                    matches, mc_ref, mc_align, common, cfg["id_col"]
+                )
+            )
+            print(
+                f"LUAD top-k (Fig S19): {result['individual_matches']} "
+                f"individual matches, ct={result['individual_ct_accuracy_pct']}% "
+                f"top-1/2/3 = {result['top1_pct']}/{result['top2_pct']}/"
+                f"{result['top3_pct']}%"
+            )
+    return result
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("dataset", choices=sorted(LOADERS))
@@ -260,79 +347,10 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
-    from same_tpu import greedy_triangle_collapse, sliding_window_matching
-
-    ref, align, common, cfg = LOADERS[args.dataset](args.data)
-    ms = args.ms if args.ms is not None else (3 if args.dataset == "luad" else 1)
-    print(f"{args.dataset}: ref={ref.shape}, align={align.shape}, MS={ms}")
-
-    min_angle = cfg.get("min_angle_deg", 15)
-    mc_align = greedy_triangle_collapse(
-        align, cell_type_col="cell_type", original_idx_col=cfg["id_col"],
-        x_col="X", y_col="Y", max_metacell_size=ms, r_max=cfg["r_max"],
-        min_angle_deg=min_angle, use_alpha_shape=False, return_object=True,
+    result = run_and_evaluate(
+        args.dataset, args.data, dp=args.dp, knn=args.knn, ms=args.ms,
+        out=args.out,
     )
-    mc_ref = greedy_triangle_collapse(
-        ref, cell_type_col="cell_type", original_idx_col=cfg["id_col"],
-        x_col="X", y_col="Y", max_metacell_size=ms, r_max=cfg["r_max"],
-        min_angle_deg=min_angle, use_alpha_shape=False, return_object=True,
-    )
-
-    optim = dict(
-        window_size=cfg["window_size"], overlap=cfg["overlap"],
-        min_cells_per_window=30, max_matches=cfg.get("max_matches", 1),
-        radius=cfg["radius"], knn=args.knn, no_match_penalty=10000,
-        dist_ct_coeff=1, penalty_coeff=100, delaunay_penalty=args.dp,
-        cell_id_col="metacell_id", ref_metacell_match_multiplier=ms,
-        min_angle_deg=min_angle,
-        ignore_same_type_triangles=cfg.get("ignore_same_type_triangles", True),
-    )
-    solver = dict(
-        mip_gap=cfg.get("mip_gap", 0.05),
-        lazy_allowed_flip_fraction=(
-            0.0 if args.dataset == "synthetic" else 0.05
-        ),
-    )
-
-    t0 = time.time()
-    matches = sliding_window_matching(
-        mc_ref, mc_align, outprefix=args.out,
-        optim_params=optim, solver_params=solver,
-    )
-    minutes = (time.time() - t0) / 60
-    print(
-        f"Done in {minutes:.1f} min — {len(matches)} matches, "
-        f"{matches['triangle_violation'].mean():.1%} violation nodes"
-    )
-
-    if args.dataset == "synthetic":
-        result = evaluate_synthetic(matches, mc_ref, mc_align)
-        result.update(dp=args.dp, knn=args.knn, ms=ms, minutes=round(minutes, 2))
-        print(
-            f"Eval: accuracy={result['ct_accuracy_pct']}% "
-            f"violation_nodes={result['violation_nodes']} "
-            f"(+{result['in_violating_only']} in_violating_only)"
-        )
-    else:
-        result = evaluate(matches, mc_ref, mc_align, common, args.dataset)
-        result.update(dp=args.dp, knn=args.knn, ms=ms, minutes=round(minutes, 2))
-        print(
-            f"Eval: accuracy={result['ct_accuracy_pct']}% "
-            f"violations={result['triangle_violations_pct']}% "
-            f"({result['triangles_flipped']}/{result['total_triangles']})"
-        )
-        if args.dataset == "luad":
-            result.update(
-                evaluate_luad_topk(
-                    matches, mc_ref, mc_align, common, cfg["id_col"]
-                )
-            )
-            print(
-                f"LUAD top-k (Fig S19): {result['individual_matches']} "
-                f"individual matches, ct={result['individual_ct_accuracy_pct']}% "
-                f"top-1/2/3 = {result['top1_pct']}/{result['top2_pct']}/"
-                f"{result['top3_pct']}%"
-            )
     if args.json:
         import json
 

@@ -169,6 +169,7 @@ def sliding_window_matching(
     solver_params: Optional[Dict[str, Any]] = None,
     ignore_precomputed_triangulation: bool = False,
     mesh=None,
+    host_shard: bool = False,
     verbose: bool = True,
 ):
     """Match cells between datasets window by window; returns merged matches.
@@ -179,6 +180,14 @@ def sliding_window_matching(
     per-window device solves out across its devices (the framework's primary
     parallel axis); outputs are identical to the sequential path's window
     decomposition by construction.
+
+    ``host_shard=True`` is the multi-host mode (docs/tutorials/multichip.md):
+    after the window grid is collected — identically on every process — each
+    process keeps only its ``parallel.distributed.host_window_slice`` of the
+    tasks and returns just those windows' matches; callers gather shards
+    with ``distributed.gather_matches`` and run the uniqueness merge on the
+    root. Window ids stay globally consistent because the grid (including
+    small-window merging) is computed from the full extent on every host.
     """
     ref_cell_type_col = "cell_type"
     moving_cell_type_col = "cell_type"
@@ -277,6 +286,17 @@ def sliding_window_matching(
         ref, moving, x_windows, y_windows, window_size, overlap, min_cells,
         windows_to_process, x_min, x_max, y_min, y_max, verbose,
     )
+
+    if host_shard:
+        from .parallel.distributed import host_window_slice
+
+        sl = host_window_slice(len(tasks))
+        if verbose:
+            print(
+                f"host_shard: process owns windows [{sl.start}, {sl.stop}) "
+                f"of {len(tasks)}"
+            )
+        tasks = tasks[sl]
 
     def _crop_and_record(task, window_matches):
         if window_matches.shape[0] == 0:

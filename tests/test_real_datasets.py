@@ -78,3 +78,50 @@ def test_synthetic_paper_config_parity():
     assert result["matches"] == 372
     assert result["ct_accuracy_pct"] >= 98.0
     assert result["violation_nodes"] <= 80
+
+
+HEART_DATA = "/root/reference/examples/heart/data"
+TONGUE_DATA = "/root/reference/examples/tongue/data"
+
+
+def _run_dataset(dataset, data_dir):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from run_dataset import run_and_evaluate
+
+    return run_and_evaluate(dataset, data_dir, dp=10, knn=8, ms=1)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{HEART_DATA}/refAD_valis.csv"),
+    reason="heart dataset not available locally",
+)
+def test_heart_paper_config_parity():
+    """Gate the heart dp=10/knn8/MS1 quality pair (VERDICT r3 item 5).
+
+    Published (docs/tutorials/heart_benchmark.html cell 21): 3162 matches,
+    71.6% 1-NN accuracy, 5.0% same-type-skipped triangle violations.
+    Committed round measurements: examples/results/heart_dp10_knn8_MS1.json.
+    The repair stage is wall-clock budgeted, so run on an idle box; the
+    violation ceiling leaves headroom for budget-induced jitter.
+    """
+    result = _run_dataset("heart", HEART_DATA)
+    assert result["matches"] == 3162
+    assert result["ct_accuracy_pct"] >= 70.0
+    assert result["triangle_violations_pct"] <= 5.5
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{TONGUE_DATA}/mer_df.csv"),
+    reason="tongue dataset not available locally",
+)
+def test_tongue_paper_config_parity():
+    """Gate the tongue dp=10/knn8/MS1 quality pair (VERDICT r3 item 5).
+
+    Published (docs/tutorials/tongue_benchmark.html cell 11): 3579 matches,
+    84.2% 1-NN accuracy, 18.0% all-type triangle violations. Committed:
+    examples/results/tongue_dp10_knn8_MS1.json (3596 / 83.5% / 12.1%).
+    """
+    result = _run_dataset("tongue", TONGUE_DATA)
+    assert result["matches"] >= 3579
+    assert result["ct_accuracy_pct"] >= 82.5
+    assert result["triangle_violations_pct"] <= 18.0
