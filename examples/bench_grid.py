@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""LUAD-scale FULL-GRID benchmark: the reference's flagship workload shape.
+
+The reference's headline scale result is the LUAD33 dp sweep: ~100K Xenium +
+~94K PCF cells, MS=3 metacells both sides, window_size=13000 / overlap=250
+over a ~26,000-unit tissue (3x3 = 9 windows), with total Gurobi solve times
+0.5 / 1.8 / 249.9 / 608.9 min at dp = 0 / 10 / 25 / 50
+(reference examples/luad/run_same.sh:88-104, luad_benchmark.html cell 9 /
+Fig S18). The real data is Zenodo-only; this script builds a surrogate
+tissue with the same extent, density, type structure (5 spatially coherent
+types, probabilities x100) and pushes it through the ACTUAL product path:
+
+    greedy_triangle_collapse(MS=3, both sides)
+      -> sliding_window_matching(window=13000, overlap=250)  [pipelined]
+      -> merge_window_matches_unique_ref
+      -> unpack_metacell_matches(strategy='nearest')
+      -> topk_type_match (Fig S19 semantics)
+
+Usage:
+  python examples/bench_grid.py --dp 25 [--out DIR] [--json FILE]
+  python examples/bench_grid.py --dp 25 --resume-test   # kill/resume check
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LUAD_TYPES = ["B cell", "Epithelial", "Mesenchymal", "Myeloid", "T cell"]
+
+# Reference totals (minutes) for the full 9-window grid, Fig S18.
+REFERENCE_TOTAL_MIN = {0.0: 0.5, 1.0: 0.6, 5.0: 0.7, 10.0: 1.8, 25.0: 249.9,
+                       50.0: 608.9}
+
+
+def make_tissue(n_cells=100_000, extent=26_000.0, seed=3, query_keep=0.94):
+    """Full-extent LUAD-like tissue (the 4x area of bench.py's one window)."""
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(0, extent, (n_cells, 2))
+    centers = rng.uniform(0, extent, (len(LUAD_TYPES) * 24, 2))
+    center_type = rng.integers(0, len(LUAD_TYPES), len(centers))
+    # Chunked nearest-center assignment (the full [n, centers] matrix is fine
+    # but chunking keeps peak memory flat).
+    types = np.empty(n_cells, np.int64)
+    for s in range(0, n_cells, 20000):
+        d = ((xy[s:s + 20000, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        types[s:s + 20000] = center_type[np.argmin(d, axis=1)]
+    probs = np.full((n_cells, len(LUAD_TYPES)), 2.0)
+    probs[np.arange(n_cells), types] = 86.0
+    probs += rng.uniform(0, 2, probs.shape)
+    probs = probs / probs.sum(1, keepdims=True) * 100.0
+
+    def frame(jseed, keep_frac=1.0):
+        r = np.random.default_rng(jseed)
+        keep = r.random(n_cells) < keep_frac
+        df = pd.DataFrame(
+            xy[keep] + r.normal(0, 15.0, (int(keep.sum()), 2)),
+            columns=["X", "Y"],
+        )
+        df["cell_type"] = np.asarray(LUAD_TYPES)[types[keep]]
+        for k, nm in enumerate(LUAD_TYPES):
+            df[nm] = probs[keep, k]
+        df["Cell_Num_Old"] = np.arange(len(df))
+        return df
+
+    return frame(1), frame(2, keep_frac=query_keep), list(LUAD_TYPES)
+
+
+def collapse(df, verbose=False):
+    from same_tpu import greedy_triangle_collapse
+
+    return greedy_triangle_collapse(
+        df, original_idx_col="Cell_Num_Old", max_metacell_size=3,
+        r_max=250, min_angle_deg=15, return_object=True, verbose=verbose,
+    )
+
+
+def run_grid(mc_ref, mc_align, type_names, dp, out=None, verbose=True):
+    from same_tpu import sliding_window_matching
+
+    t0 = time.time()
+    matches = sliding_window_matching(
+        mc_ref, mc_align, outprefix=out,
+        optim_params=dict(
+            window_size=13000, overlap=250, min_cells_per_window=30,
+            max_matches=1, radius=250, knn=8, no_match_penalty=10000,
+            dist_ct_coeff=1, penalty_coeff=100, delaunay_penalty=dp,
+            cell_id_col="metacell_id", ref_metacell_match_multiplier=3,
+        ),
+        solver_params=dict(mip_gap=0.05, lazy_allowed_flip_fraction=0.05),
+        verbose=verbose,
+    )
+    return time.time() - t0, matches
+
+
+def evaluate(matches, mc_ref, mc_align, type_names):
+    from same_tpu import (
+        merge_window_matches_unique_ref,
+        topk_type_match,
+        unpack_metacell_matches,
+    )
+
+    t0 = time.time()
+    merged = merge_window_matches_unique_ref(
+        [matches], cell_id_col="metacell_id"
+    )
+    individual = unpack_metacell_matches(
+        matches, mc_align.metacell_df, mc_ref.metacell_df,
+        aligned_df=mc_align.original_df, ref_df=mc_ref.original_df,
+        strategy="nearest",
+        aligned_original_idx_col="Cell_Num_Old",
+        ref_original_idx_col="Cell_Num_Old",
+    )
+    aligned_ct = mc_align.original_df.set_index("Cell_Num_Old")["cell_type"]
+    ref_ct = mc_ref.original_df.set_index("Cell_Num_Old")["cell_type"]
+    ind_acc = float(
+        (
+            individual["Aligned_cell_id"].map(aligned_ct).to_numpy()
+            == individual["Ref_cell_id"].map(ref_ct).to_numpy()
+        ).mean()
+    )
+    ref_probs = mc_ref.original_df.set_index("Cell_Num_Old")[type_names]
+    _ind, topk = topk_type_match(individual, aligned_ct, ref_probs, type_names)
+    return {
+        "merged_matches": int(len(merged)),
+        "individual_matches": int(len(individual)),
+        "individual_ct_accuracy_pct": round(100 * ind_acc, 2),
+        "top1_pct": round(100 * topk[1], 2),
+        "top2_pct": round(100 * topk[2], 2),
+        "top3_pct": round(100 * topk[3], 2),
+        "downstream_seconds": round(time.time() - t0, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dp", type=float, default=25.0)
+    ap.add_argument("--out", default=None, help="checkpoint dir (resume)")
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--cells", type=int, default=100_000)
+    ap.add_argument(
+        "--skip-eval", action="store_true",
+        help="skip merge/unpack/top-k downstream evaluation",
+    )
+    args = ap.parse_args()
+
+    t_gen0 = time.time()
+    ref_df, qry_df, type_names = make_tissue(n_cells=args.cells)
+    t_gen = time.time() - t_gen0
+    print(f"tissue: ref={len(ref_df)} query={len(qry_df)} ({t_gen:.0f}s)")
+
+    t_mc0 = time.time()
+    mc_align = collapse(qry_df)
+    mc_ref = collapse(ref_df)
+    t_collapse = time.time() - t_mc0
+    print(
+        f"collapse MS=3: align {len(qry_df)}->{len(mc_align.metacell_df)}, "
+        f"ref {len(ref_df)}->{len(mc_ref.metacell_df)} ({t_collapse:.0f}s)"
+    )
+
+    t_solve, matches = run_grid(
+        mc_ref, mc_align, type_names, args.dp, out=args.out
+    )
+    ref_total_s = REFERENCE_TOTAL_MIN.get(args.dp, None)
+    result = {
+        "dp": args.dp,
+        "windows": int(matches["window_id"].nunique()),
+        "grid_matches": int(len(matches)),
+        "collapse_seconds": round(t_collapse, 1),
+        "grid_solve_seconds": round(t_solve, 1),
+        "reference_total_minutes": ref_total_s,
+        "vs_reference": (
+            round(ref_total_s * 60.0 / t_solve, 2) if ref_total_s else None
+        ),
+    }
+    if not args.skip_eval:
+        result.update(evaluate(matches, mc_ref, mc_align, type_names))
+    print(json.dumps(result))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

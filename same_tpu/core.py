@@ -578,6 +578,7 @@ def solve_prepared(
                 prices0=pw.prices0,
                 deadline=deadline,
                 repair_budget=solver.get("tpu_repair_budget"),
+                repair_workers=solver.get("tpu_repair_workers"),
                 verbose=verbose,
             )
 

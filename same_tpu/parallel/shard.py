@@ -190,8 +190,7 @@ def solve_windows_sharded(
         )
         groups.setdefault(key, []).append(idx)
 
-    for key, idxs in groups.items():
-        pws = [prepared[i] for i in idxs]
+    def _run_separation(pws):
         solver0 = pws[0].solver
         # Honor the per-window time_limit contract (reference
         # src/same.py:1245): the batch runs in lockstep, so its deadline is
@@ -235,7 +234,36 @@ def solve_windows_sharded(
                 p.solver.get("tpu_tear_patience", 6) for p in pws
             ],
         )
-        t_sep = _time.time() - t_sep0
+        return datas, t_sep0, _time.time() - t_sep0
+
+    # Bucket-level pipeline: bucket k+1's batched device separation runs on
+    # a device thread while bucket k's host finishes (incumbent eval +
+    # repair, serialized under HOST_LOCK inside _finish_solve) run here.
+    # With one bucket this degenerates to the plain sequential order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    group_items = list(groups.items())
+    with ThreadPoolExecutor(max_workers=1) as dev_pool:
+        sep_futs = [
+            dev_pool.submit(_run_separation, [prepared[i] for i in idxs])
+            for _key, idxs in group_items
+        ]
+        finished = _finish_groups(
+            group_items, sep_futs, prepared, results, deadline, verbose,
+            solve_prepared, incumbents_from_device_data, _finish_solve,
+        )
+    return finished
+
+
+def _finish_groups(
+    group_items, sep_futs, prepared, results, deadline, verbose,
+    solve_prepared, incumbents_from_device_data, _finish_solve,
+):
+    import time as _time  # noqa: F401  (kept for symmetry with callers)
+
+    for (key, idxs), fut in zip(group_items, sep_futs):
+        pws = [prepared[i] for i in idxs]
+        datas, t_sep0, t_sep = fut.result()
         if verbose:
             print(
                 f"Sharded batch of {len(pws)} windows "
@@ -269,6 +297,8 @@ def solve_windows_sharded(
                     if pw.optim["lazy_constraints"]
                     else 0.0
                 ),
+                repair_budget_override=pw.solver.get("tpu_repair_budget"),
+                repair_workers=pw.solver.get("tpu_repair_workers"),
             )
             pw.stage_times["solve"] = t_sep / max(len(pws), 1)
             for k2 in ("separation_time", "repair_time", "incumbent_eval_time"):
@@ -304,3 +334,4 @@ def solve_windows_sharded(
                     res.info["eps_retry"] = eps2
             results[i] = res
     return results
+

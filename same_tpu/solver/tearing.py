@@ -164,6 +164,7 @@ def solve_with_tearing(
     prices0: Optional[np.ndarray] = None,
     deadline: Optional[float] = None,
     repair_budget: Optional[float] = None,
+    repair_workers: Optional[int] = None,
     verbose: bool = False,
 ) -> TearingResult:
     """Solve the matching problem with lazy orientation-cut separation.
@@ -506,6 +507,7 @@ def solve_with_tearing(
         cuts_added, rounds_used, time_limit_reached, t_sep_start,
         allowed_flip_fraction=allowed_flip_fraction,
         repair_budget_override=repair_budget,
+        repair_workers=repair_workers,
     )
 
 
@@ -596,6 +598,43 @@ def _finish_solve(
     cuts_added, rounds_used, time_limit_reached, t_sep_start,
     allowed_flip_fraction=None,
     repair_budget_override=None,
+    repair_workers=None,
+) -> TearingResult:
+    """Host tail of every solve path, serialized under the host-compute lock.
+
+    The pipelined window orchestrator (windows.py) overlaps one window's
+    device separation with another's host finishing; the lock keeps the
+    wall-clock-budgeted incumbent evaluation + repair from ever sharing the
+    host with a second window's host work. Separation time is stamped
+    BEFORE the lock wait so pipeline queueing never inflates it.
+    """
+    import time as _time
+
+    t_sep_end = _time.time()
+    from ..utils.concurrency import HOST_LOCK
+
+    with HOST_LOCK:
+        return _finish_solve_impl(
+            problem, pair_costs, tris, tri_weights, source_signs, ref_coords,
+            delaunay_penalty, penalty_coeff, hard, deadline,
+            incumbents, cut_tris, cut_verts_list, cut_pairs_list,
+            cuts_added, rounds_used, time_limit_reached, t_sep_start,
+            allowed_flip_fraction=allowed_flip_fraction,
+            repair_budget_override=repair_budget_override,
+            repair_workers=repair_workers,
+            t_sep_end=t_sep_end,
+        )
+
+
+def _finish_solve_impl(
+    problem, pair_costs, tris, tri_weights, source_signs, ref_coords,
+    delaunay_penalty, penalty_coeff, hard, deadline,
+    incumbents, cut_tris, cut_verts_list, cut_pairs_list,
+    cuts_added, rounds_used, time_limit_reached, t_sep_start,
+    allowed_flip_fraction=None,
+    repair_budget_override=None,
+    repair_workers=None,
+    t_sep_end=None,
 ) -> TearingResult:
     """Incumbent evaluation under the final cut set + local repair + result.
 
@@ -614,7 +653,8 @@ def _finish_solve(
     """
     import time as _time
 
-    t_sep_end = _time.time()
+    if t_sep_end is None:
+        t_sep_end = _time.time()
     n = problem.n_aligned
     T = len(tris)
     tri_weights = np.asarray(tri_weights, dtype=np.float64)
@@ -778,6 +818,7 @@ def _finish_solve(
                 flip_penalty=(delaunay_penalty if search_pay else 0.0),
                 flip_allowance=W_A,
                 stats=repair_stats,
+                workers=repair_workers,
             )
             # A repair hitting its own (sub-deadline) budget is not a
             # window time_limit violation.

@@ -77,6 +77,16 @@ def init_solver_params(**overrides) -> Dict[str, Any]:
         # "auto": fused device loop on accelerators / large problems, host
         # separation loop otherwise. "force": always fused. False: never.
         "tpu_device_loop": "auto",
+        # Windows in flight on the sequential path: one window's device
+        # separation overlaps another's host repair (HiGHS releases the
+        # GIL); host-heavy stages stay serialized under a shared lock so
+        # the wall-clock-budgeted repair never shares the host. 1 disables.
+        "tpu_pipeline_windows": 2,
+        # Concurrent component-MILP solves inside exact repair. None = auto
+        # (cpu_count capped at 8; 1 on single-core hosts). Groups are
+        # vertex- AND ref-disjoint, so parallel solves apply identically to
+        # sequential ones.
+        "tpu_repair_workers": None,
     }
     params.update(overrides)
     return params

@@ -323,7 +323,8 @@ def sliding_window_matching(
             else None
         )
 
-    if mesh is None:
+    pipeline_k = int(solver.get("tpu_pipeline_windows", 2) or 1)
+    if mesh is None and (pipeline_k <= 1 or len(tasks) <= 1):
         for task in tasks:
             window_matches, _var_out = run_same(
                 aligned_df=task["mov_sub"],
@@ -338,6 +339,53 @@ def sliding_window_matching(
                 verbose=verbose,
             )
             _crop_and_record(task, window_matches)
+    elif mesh is None:
+        # Pipelined sequential path: up to ``tpu_pipeline_windows`` windows
+        # in flight so one window's device separation overlaps another's
+        # host repair (scipy's HiGHS releases the GIL). Host-heavy stages
+        # (prepare / finish+repair / finalize) are serialized by the shared
+        # HOST_LOCK — the wall-clock-budgeted repair never competes for the
+        # host — while device separation runs outside it. Results are
+        # recorded in grid order, so outputs and the resume checkpoint are
+        # identical to the sequential path's.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .core import (
+            EmptyWindowError,
+            empty_matches_df,
+            finalize_window,
+            prepare_window,
+            solve_prepared,
+        )
+        from .utils.concurrency import HOST_LOCK
+
+        def _solve_one(task):
+            try:
+                with HOST_LOCK:
+                    pw = prepare_window(
+                        task["ref_sub"],
+                        task["mov_sub"],
+                        commonCT,
+                        aligned_delaunay=moving_delaunay,
+                        aligned_delaunay_vertex_col=moving_delaunay_vertex_col,
+                        optim_params=optim,
+                        solver_params=solver,
+                        ignore_precomputed_triangulation=ignore_precomputed_triangulation,
+                        verbose=verbose,
+                    )
+            except EmptyWindowError:
+                return empty_matches_df(commonCT, optim["cell_id_col"])
+            res = solve_prepared(pw, verbose=verbose)
+            with HOST_LOCK:
+                window_matches, _var_out = finalize_window(
+                    pw, res, outprefix=_window_outprefix(task), verbose=verbose
+                )
+            return window_matches
+
+        with ThreadPoolExecutor(max_workers=pipeline_k) as pool:
+            futures = [pool.submit(_solve_one, task) for task in tasks]
+            for task, fut in zip(tasks, futures):
+                _crop_and_record(task, fut.result())
     else:
         # Multi-chip path: host preprocessing per window, then the batched
         # device solve (full tearing separation) sharded over the mesh, then

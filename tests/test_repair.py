@@ -174,3 +174,26 @@ def test_repair_budget_param_respected(rng):
     assert res.info["repair_time"] < 3.0 + 12.0
     assert (res.match_ref >= 0).sum() > 80
     assert wall > 0
+
+
+def test_repair_workers_equivalent(rng):
+    """workers>1 solves vertex-/ref-disjoint component groups concurrently;
+    extraction commutes with the group's applies and the apply order is
+    unchanged, so the result is bit-identical to the sequential pass (no
+    wall-clock cutoffs on an instance this small)."""
+    from same_tpu.solver.tearing import solve_with_tearing
+
+    pb, pairs, costs, tris, w, src, ref, nm = _instance(rng, n=40)
+    kw = dict(
+        delaunay_penalty=20.0, penalty_coeff=50.0,
+        allowed_flip_fraction=0.0, eps_final=1e-3, device_loop=False,
+    )
+    res1 = solve_with_tearing(
+        pb, costs, tris, w, src, ref, repair_workers=1, **kw
+    )
+    res4 = solve_with_tearing(
+        pb, costs, tris, w, src, ref, repair_workers=4, **kw
+    )
+    np.testing.assert_array_equal(res1.match_ref, res4.match_ref)
+    np.testing.assert_array_equal(res1.match_pair, res4.match_pair)
+    assert res1.objective == pytest.approx(res4.objective)

@@ -187,3 +187,24 @@ def test_python_hk_is_maximum():
         )
         sp = maximum_bipartite_matching(graph, perm_type="column")
         assert (py >= 0).sum() == (np.asarray(sp) >= 0).sum()
+
+
+def test_pipelined_matches_sequential(benchmark):
+    """The threaded window pipeline (tpu_pipeline_windows>=2, the default)
+    returns the same matches, in the same order, as the strictly
+    sequential path. dp=0 keeps the per-window solves deterministic (no
+    wall-clock-budgeted repair), isolating the orchestration."""
+    ref_df, query_df, _q, _gt, _e = benchmark
+    optim = _window_params() | {"delaunay_penalty": 0}
+    seq = sliding_window_matching(
+        ref_df, query_df, commonCT=["c1", "c2", "c3"], optim_params=optim,
+        solver_params=dict(tpu_pipeline_windows=1), verbose=False,
+    )
+    pipe = sliding_window_matching(
+        ref_df, query_df, commonCT=["c1", "c2", "c3"], optim_params=optim,
+        solver_params=dict(tpu_pipeline_windows=3), verbose=False,
+    )
+    key = ["Aligned_cell_idx", "Ref_cell_idx", "window_id"]
+    pd.testing.assert_frame_equal(
+        seq[key].reset_index(drop=True), pipe[key].reset_index(drop=True)
+    )
