@@ -51,6 +51,8 @@ def solve_mip_oracle(
     node_limit: Optional[int] = None,
     init_cuts: Optional[list] = None,
     eager_triangles: bool = False,
+    flip_allowance: float = 0.0,
+    registered_cuts: Optional[list] = None,
 ) -> OracleResult:
     """Solve the window matching MIP exactly, with the lazy-cut outer loop.
 
@@ -58,6 +60,18 @@ def solve_mip_oracle(
     tuples (pair indices into ``pairs``) so a caller that already knows
     which triples flip — e.g. the component repair starting from a concrete
     incumbent — skips the outer iterations that would rediscover them.
+
+    ``flip_allowance`` (in delaunay_penalty * tri_weight units) models the
+    reference callback's allowed-flip budget *inside* the MIP: per-triangle
+    credit variables ``f_t`` (0 <= f_t <= q_t, sum dp*w_t*f_t <= allowance)
+    cancel the tearing cost of flips up to the budget, EXCEPT flips realized
+    through a triple in ``registered_cuts`` — a registered cut always pays
+    when its exact triple is selected (Gurobi semantics: once a lazy cut is
+    in the model its q_t is charged regardless of the final flip fraction;
+    only *unregistered* flips ride the allowance). Used by the component
+    repair so its subproblems can spend leftover window-level flip budget
+    on cost-reducing flips, exactly like the reference's solver does
+    (reference src/same.py:641-669 flip-fraction early-exit).
 
     ``eager_triangles`` enumerates EVERY candidate-pair triple of every
     triangle whose orientation flips versus ``source_signs`` and adds its
@@ -74,20 +88,27 @@ def solve_mip_oracle(
     T = len(triangles) if triangles is not None else 0
     tris = np.asarray(triangles, dtype=np.int64).reshape(-1, 3) if T else None
 
-    # Variable layout: [x (P), p (n_ref), nm (n_aligned), q (T)]
-    nv = P + n_ref + n_aligned + T
+    # Variable layout: [x (P), p (n_ref), nm (n_aligned), q (T), f (F)]
+    # where the optional f block (F = T when a flip allowance is modeled,
+    # else 0) holds the free-flip credit variables.
+    dpw = (
+        np.asarray(tri_weights, dtype=np.float64) * float(delaunay_penalty)
+        if T
+        else np.empty(0)
+    )
+    F = T if (T and flip_allowance > 0.0 and delaunay_penalty > 0.0) else 0
+    nv = P + n_ref + n_aligned + T + F
     c = np.concatenate(
         [
             np.asarray(pair_costs, dtype=np.float64),
             np.full(n_ref, float(penalty_coeff)),
             np.asarray(no_match_cost, dtype=np.float64),
-            (np.asarray(tri_weights, dtype=np.float64) * float(delaunay_penalty))
-            if T
-            else np.empty(0),
+            dpw,
+            -dpw if F else np.empty(0),
         ]
     )
     integrality = np.concatenate(
-        [np.ones(P), np.zeros(n_ref + n_aligned + T)]
+        [np.ones(P), np.zeros(n_ref + n_aligned + T + F)]
     )
     lb = np.zeros(nv)
     ub = np.concatenate(
@@ -96,6 +117,7 @@ def solve_mip_oracle(
             np.full(n_ref, 1000.0),
             np.ones(n_aligned),
             np.full(T, np.inf) if T else np.empty(0),
+            np.ones(F),
         ]
     )
 
@@ -162,6 +184,29 @@ def solve_mip_oracle(
                 vals.append(-1.0)
                 con_lb.append(-np.inf); con_ub.append(2.0)
                 r += 1
+
+    if F:
+        q0, f0 = P + n_ref + n_aligned, P + n_ref + n_aligned + T
+        # f_t <= q_t: credit only flips that actually happen.
+        for t in range(T):
+            rows.append(r); cols.append(f0 + t); vals.append(1.0)
+            rows.append(r); cols.append(q0 + t); vals.append(-1.0)
+            con_lb.append(-np.inf); con_ub.append(0.0)
+            r += 1
+        # Budget: sum dp*w_t * f_t <= flip_allowance.
+        for t in range(T):
+            if dpw[t] != 0.0:
+                rows.append(r); cols.append(f0 + t); vals.append(float(dpw[t]))
+        con_lb.append(-np.inf); con_ub.append(float(flip_allowance))
+        r += 1
+        # A registered triple, when selected, pays regardless of budget:
+        # x_pa + x_pb + x_pc + f_t <= 3.
+        for (t, pa, pb, pc) in registered_cuts or []:
+            for p in (pa, pb, pc):
+                rows.append(r); cols.append(int(p)); vals.append(1.0)
+            rows.append(r); cols.append(f0 + int(t)); vals.append(1.0)
+            con_lb.append(-np.inf); con_ub.append(3.0)
+            r += 1
 
     base_rows, base_cols, base_vals = list(rows), list(cols), list(vals)
     base_lb, base_ub = list(con_lb), list(con_ub)
@@ -277,7 +322,7 @@ def solve_mip_oracle(
     match_ref = np.full(n_aligned, -1, dtype=np.int64)
     for p in np.flatnonzero(xv):
         match_ref[pairs[p, 0]] = pairs[p, 1]
-    q = res.x[P + n_ref + n_aligned :] if T else np.empty(0)
+    q = res.x[P + n_ref + n_aligned : P + n_ref + n_aligned + T] if T else np.empty(0)
     return OracleResult(
         x=res.x[:P],
         match_ref=match_ref,

@@ -51,6 +51,12 @@ class _RepairState:
         self.match_ref = match_ref
         self.match_pair = match_pair
         self.problem = problem
+        # Global pair id -> ref row (for mapping registered cut triples
+        # into component subproblems).
+        self.ref_of_pair = np.full(len(self.pair_costs), -1, np.int64)
+        self.ref_of_pair[problem.pair_idx[problem.valid]] = problem.cand_ref[
+            problem.valid
+        ]
 
         # Hard per-ref limits from the slot expansion (slot_ref carries -1
         # entries for shape-bucket padding slots).
@@ -288,6 +294,35 @@ def resolve_repair_workers(workers):
     return max(1, min(8, os.cpu_count() or 1))
 
 
+def _vertex_regret(st, problem, pair_costs):
+    """Per-vertex cost regret: current assignment cost minus the cheapest
+    candidate's cost. High-regret vertices mark places the solver settled
+    for a worse match — usually to avoid a flip the remaining budget
+    allowance would now make free (Gurobi spends the callback's allowed
+    flip fraction exactly here; reference src/same.py:641-669)."""
+    n = st.n
+    cand_cost = np.where(
+        problem.valid[:n],
+        pair_costs[np.where(problem.valid[:n], problem.pair_idx[:n], 0)],
+        np.inf,
+    )
+    best = np.minimum(cand_cost.min(axis=1), st.nm)
+    mp = st.match_pair[:n]
+    cur = np.where(mp >= 0, pair_costs[np.maximum(mp, 0)], st.nm)
+    return np.maximum(cur - best, 0.0)
+
+
+def _tri_cuts_index(st):
+    """Triangle id -> registered cut row ids (built once per repair)."""
+    idx = getattr(st, "_tri_cuts", None)
+    if idx is None:
+        idx = {}
+        for k, t in enumerate(st.ct):
+            idx.setdefault(int(t), []).append(k)
+        st._tri_cuts = idx
+    return idx
+
+
 def local_repair(
     problem, pair_costs, tris, tri_weights, source_signs, ref_coords,
     match_ref, match_pair, cut_arrays, delaunay_penalty, penalty_coeff,
@@ -337,6 +372,14 @@ def local_repair(
         cand = set(st.tris[flipped_t].ravel().tolist())
         if len(st.ct):
             cand.update(np.unique(st.cv).tolist())
+        if not hard and st.flip_pen > 0.0 and st.W_A - st.S_free > 1e-9:
+            # Leftover flip-budget allowance: also visit the highest-regret
+            # vertices — moves that flip a triangle within the allowance
+            # are free under delta(), so greedy can spend the budget on
+            # cost-reducing flips the incumbent search suppressed.
+            reg = _vertex_regret(st, problem, pair_costs)
+            top = np.argsort(-reg)[:512]
+            cand.update(int(v) for v in top[reg[top] > 1e-9])
         cand = sorted(c for c in cand if 0 <= c < n)
         if not cand:
             break
@@ -567,6 +610,21 @@ def _exact_component_repair(
             ts = st.tris_of(int(v))
             if len(ts):
                 paying[ts] = True
+    # ... plus (when the window-level flip budget has slack) triangles
+    # around the highest-regret vertices: the component MILPs below model
+    # the allowance, so they can ADD cost-reducing flips in regions with no
+    # violation at all — the freedom Gurobi's callback budget gives it.
+    if not hard and st.flip_pen > 0.0 and st.W_A - st.S_free > 1e-9:
+        reg = _vertex_regret(st, problem, pair_costs)
+        top = np.argsort(-reg)[:256]
+        n_seeded = 0
+        for v in top[reg[top] > 1e-9]:
+            ts = st.tris_of(int(v))
+            if len(ts):
+                paying[ts] = True
+                n_seeded += 1
+        if stats is not None and n_seeded:
+            stats["regret_seeds"] = stats.get("regret_seeds", 0) + n_seeded
     if not paying.any():
         return False
 
@@ -826,7 +884,46 @@ def _extract_subproblem(st, problem, pair_costs, comp, memo):
             triple.append(k)
         if triple is not None:
             init_cuts.append(tuple(triple))
+    # Component flip allowance: whatever of the window's budget W_A is not
+    # consumed by free flips OUTSIDE this subproblem is local headroom the
+    # component MILP may spend (exact: the triangles whose flip state the
+    # subproblem controls are exactly sub_tris). Registered cut triples map
+    # into local pair ids so the MILP charges them regardless of budget.
+    flip_allowance = 0.0
+    reg_cuts = []
+    if st.flip_pen > 0.0 and st.W_A > 0.0:
+        st_arr = np.asarray(sub_tris, np.int64)
+        inside_free = (
+            float(
+                st.dpw[st_arr][
+                    st.flipped[st_arr] & ~(st.tri_act[st_arr] > 0)
+                ].sum()
+            )
+            if len(sub_tris)
+            else 0.0
+        )
+        flip_allowance = max(0.0, st.W_A - (st.S_free - inside_free))
+        if flip_allowance > 0.0 and len(sub_tris) and len(st.ct):
+            tri_cuts = _tri_cuts_index(st)
+            for si, t in enumerate(sub_tris):
+                for k in tri_cuts.get(int(t), ()):
+                    triple = [si]
+                    for v, p in zip(st.cv[k], st.cp[k]):
+                        v, j = int(v), int(st.ref_of_pair[int(p)])
+                        lk = (
+                            local_pair_of.get((local_of[v], ref_map[j]))
+                            if (v in local_of and j in ref_map)
+                            else None
+                        )
+                        if lk is None:
+                            triple = None
+                            break
+                        triple.append(lk)
+                    if triple is not None:
+                        reg_cuts.append(tuple(triple))
     return {
+        "flip_allowance": flip_allowance,
+        "reg_cuts": reg_cuts,
         "free": free,
         "sub_verts": sub_verts,
         "local_of": local_of,
@@ -845,13 +942,19 @@ def _extract_subproblem(st, problem, pair_costs, comp, memo):
 
 
 def _comp_sig(st, free, sub_verts):
-    """Local-state signature for the component-optimality memo."""
+    """Local-state signature for the component-optimality memo.
+
+    Includes the window's remaining flip-budget slack: a component proven
+    optimal under one allowance is NOT optimal once other components free
+    or consume budget, so such entries must not match.
+    """
     return hash((
         tuple(free),
         tuple(int(st.match_pair[v]) for v in sub_verts),
         tuple((j, int(st.u[j])) for j in sorted(
             {int(st.match_ref[v]) for v in sub_verts
              if st.match_ref[v] >= 0})),
+        round(max(0.0, st.W_A - st.S_free), 6),
     ))
 
 
@@ -889,6 +992,8 @@ def _solve_subproblem(sub, st, hard, milp_time_limit, deadline):
                 1e7 if hard else (st.flip_pen if st.flip_pen > 0 else 0.0)
             ),
             lazy_allowed_flip_fraction=0.0,
+            flip_allowance=(0.0 if hard else sub["flip_allowance"]),
+            registered_cuts=sub["reg_cuts"] or None,
             max_outer_iters=6,
             # Loose relative gap: proving the last ~0.1% of a component
             # bound costs HiGHS multiples of finding the solution

@@ -197,3 +197,75 @@ def test_repair_workers_equivalent(rng):
     np.testing.assert_array_equal(res1.match_ref, res4.match_ref)
     np.testing.assert_array_equal(res1.match_pair, res4.match_pair)
     assert res1.objective == pytest.approx(res4.objective)
+
+
+def _flip_allowance_instance():
+    """One triangle A(0,0) B(1,0) C(0,1); matching C to (0,-1) flips it but
+    saves 4 in pair cost; dp*w = 7 so the flip only pays off when the budget
+    allowance makes it free."""
+    pairs = np.asarray([(0, 0), (1, 1), (2, 2), (2, 3)])
+    costs = np.asarray([0.0, 0.0, 5.0, 1.0])
+    nm = np.full(3, 100.0)
+    ref_xy = np.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.0, -1.0]])
+    tris = np.asarray([[0, 1, 2]])
+    w = np.ones(1)
+    src = np.asarray([1], np.int32)
+    return pairs, costs, nm, ref_xy, tris, w, src
+
+
+def test_oracle_flip_allowance():
+    from same_tpu.solver.milp_oracle import solve_mip_oracle
+
+    pairs, costs, nm, ref_xy, tris, w, src = _flip_allowance_instance()
+    kw = dict(
+        triangles=tris, tri_weights=w, source_signs=src, ref_coords=ref_xy,
+        delaunay_penalty=7.0, eager_triangles=True,
+    )
+    base = (pairs, costs, 3, 4, np.ones(4, np.int64), 50.0, nm)
+
+    # No allowance: the flip pays 7 > the 4 saving -> keep the unflipped match.
+    res0 = solve_mip_oracle(*base, **kw)
+    assert res0.match_ref.tolist() == [0, 1, 2]
+    assert res0.objective == pytest.approx(5.0)
+
+    # Allowance covers the flip: it is free, take the cheaper flipped match.
+    res1 = solve_mip_oracle(*base, flip_allowance=7.0, **kw)
+    assert res1.match_ref.tolist() == [0, 1, 3]
+    assert res1.objective == pytest.approx(1.0)
+
+    # Partial allowance (< dp*w): net flip price 7-3=4 >= saving -> unflipped.
+    res2 = solve_mip_oracle(*base, flip_allowance=3.0, **kw)
+    assert res2.match_ref.tolist() == [0, 1, 2]
+
+    # Registered triple: the flip pays regardless of allowance.
+    res3 = solve_mip_oracle(
+        *base, flip_allowance=7.0, registered_cuts=[(0, 0, 1, 3)], **kw
+    )
+    assert res3.match_ref.tolist() == [0, 1, 2]
+    assert res3.objective == pytest.approx(5.0)
+
+
+def test_local_repair_spends_flip_allowance():
+    from same_tpu.models.assignment import build_assignment_problem
+
+    pairs, costs, nm, ref_xy, tris, w, src = _flip_allowance_instance()
+    pb = build_assignment_problem(
+        pairs, costs, 3, 4, np.ones(4, np.int64), 50.0, nm
+    )
+    mr0 = np.asarray([0, 1, 2], np.int64)
+    mp0 = np.asarray([0, 1, 2], np.int64)
+
+    # With allowance >= dp*w the cheaper flipped match is free; repair must
+    # find it even though the start state has no flip/cut to seed from.
+    mr1, _mp1, _ = local_repair(
+        pb, costs, tris, w, src, ref_xy, mr0.copy(), mp0.copy(), None,
+        7.0, 50.0, False, flip_penalty=7.0, flip_allowance=7.0,
+    )
+    assert mr1.tolist() == [0, 1, 3]
+
+    # Zero allowance: every flip pays and costs more than it saves.
+    mr2, _mp2, _ = local_repair(
+        pb, costs, tris, w, src, ref_xy, mr0.copy(), mp0.copy(), None,
+        7.0, 50.0, False, flip_penalty=7.0, flip_allowance=0.0,
+    )
+    assert mr2.tolist() == [0, 1, 2]
