@@ -378,7 +378,8 @@ def local_repair(
             # are free under delta(), so greedy can spend the budget on
             # cost-reducing flips the incumbent search suppressed.
             reg = _vertex_regret(st, problem, pair_costs)
-            top = np.argsort(-reg)[:512]
+            k = 2048 if n <= 6144 else 512
+            top = np.argsort(-reg)[:k]
             cand.update(int(v) for v in top[reg[top] > 1e-9])
         cand = sorted(c for c in cand if 0 <= c < n)
         if not cand:
@@ -616,7 +617,7 @@ def _exact_component_repair(
     # violation at all — the freedom Gurobi's callback budget gives it.
     if not hard and st.flip_pen > 0.0 and st.W_A - st.S_free > 1e-9:
         reg = _vertex_regret(st, problem, pair_costs)
-        top = np.argsort(-reg)[:256]
+        top = np.argsort(-reg)[: (1024 if st.n <= 6144 else 256)]
         n_seeded = 0
         for v in top[reg[top] > 1e-9]:
             ts = st.tris_of(int(v))
