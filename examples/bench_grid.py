@@ -140,6 +140,41 @@ def evaluate(matches, mc_ref, mc_align, type_names):
     }
 
 
+def _kill_after_n_windows(args, n_windows=2, poll_s=15):
+    """Phase 1 of the resume test: run the grid in a child process and
+    SIGKILL it (by pid) once ``n_windows`` windows have checkpointed to
+    matchedDF.csv — simulating a mid-run crash.  Returns the set of
+    window_ids that survived on disk."""
+    import subprocess
+
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--dp", str(args.dp), "--out", args.out,
+        "--cells", str(args.cells), "--skip-eval",
+    ]
+    mdf = os.path.join(args.out, "matchedDF.csv")
+    child = subprocess.Popen(cmd)
+    done = set()
+    try:
+        while child.poll() is None:
+            time.sleep(poll_s)
+            if os.path.exists(mdf):
+                try:
+                    done = set(pd.read_csv(mdf)["window_id"].unique())
+                except Exception:
+                    continue
+                if len(done) >= n_windows:
+                    child.kill()
+                    break
+    finally:
+        if child.poll() is None:
+            child.kill()
+        child.wait()
+    done = set(pd.read_csv(mdf)["window_id"].unique())
+    print(f"resume-test: killed child after windows {sorted(done)}")
+    return done
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dp", type=float, default=25.0)
@@ -150,7 +185,24 @@ def main():
         "--skip-eval", action="store_true",
         help="skip merge/unpack/top-k downstream evaluation",
     )
+    ap.add_argument(
+        "--resume-test", action="store_true",
+        help="kill a child run mid-grid, then resume and verify the "
+        "checkpointed windows are reused untouched",
+    )
     args = ap.parse_args()
+
+    resume_info = None
+    if args.resume_test:
+        if not args.out:
+            ap.error("--resume-test requires --out")
+        t_kill0 = time.time()
+        pre_windows = _kill_after_n_windows(args)
+        pre_rows = pd.read_csv(os.path.join(args.out, "matchedDF.csv"))
+        resume_info = {
+            "killed_after_windows": sorted(int(w) for w in pre_windows),
+            "phase1_seconds": round(time.time() - t_kill0, 1),
+        }
 
     t_gen0 = time.time()
     ref_df, qry_df, type_names = make_tissue(n_cells=args.cells)
@@ -169,6 +221,30 @@ def main():
     t_solve, matches = run_grid(
         mc_ref, mc_align, type_names, args.dp, out=args.out
     )
+    if resume_info is not None:
+        # The checkpointed windows must come back byte-identical (they are
+        # skipped, not recomputed) and the total must match a clean run's
+        # window set.  Solve time is reported as the sum of per-window
+        # run_time — the same per-window-runtime-sum metric the reference's
+        # Fig S18 totals use — so the kill/restart overhead doesn't count
+        # twice.
+        key = ["window_id", "Aligned_metacell_id", "Ref_metacell_id"]
+        pre = pre_rows.sort_values(key).reset_index(drop=True)
+        post = (
+            matches[matches["window_id"].isin(pre_windows)]
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        intact = len(pre) == len(post) and all(
+            pre[k].tolist() == post[k].tolist() for k in key
+        )
+        resume_info["windows_resumed_intact"] = bool(intact)
+        resume_info["phase2_seconds"] = round(t_solve, 1)
+        if not intact:
+            print("resume-test FAILED: checkpointed windows changed")
+        t_solve = float(
+            matches.groupby("window_id")["run_time"].first().sum()
+        )
     ref_total_s = REFERENCE_TOTAL_MIN.get(args.dp, None)
     result = {
         "dp": args.dp,
@@ -181,6 +257,8 @@ def main():
             round(ref_total_s * 60.0 / t_solve, 2) if ref_total_s else None
         ),
     }
+    if resume_info is not None:
+        result["resume_test"] = resume_info
     if not args.skip_eval:
         result.update(evaluate(matches, mc_ref, mc_align, type_names))
     print(json.dumps(result))
