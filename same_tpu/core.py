@@ -508,6 +508,120 @@ def prepare_window(
     )
 
 
+def _solve_eager_exact(
+    pw: PreparedWindow,
+    deadline: Optional[float],
+    verbose: bool,
+) -> Optional[TearingResult]:
+    """Exact eager solve for ``lazy_constraints=False`` windows.
+
+    The reference's eager mode builds every candidate-triple orientation
+    constraint up front (reference src/helpers.py:444-573) instead of lazy
+    callback cuts; it is only tractable on small windows (O(n*k^3) rows),
+    which is also the only regime the reference uses it in. Here the same
+    complete formulation is one HiGHS solve (milp_oracle with
+    ``eager_triangles=True``). Returns None when the window is too large or
+    the solve fails — the caller then falls back to the zero-budget tearing
+    emulation documented in ARCHITECTURE.md.
+
+    Gate knobs: ``solver_params['tpu_eager_max_n']`` (default 600 aligned
+    points) and an enumeration bound of ~3e6 candidate triples.
+    """
+    optim, solver = pw.optim, pw.solver
+    n = pw.problem.n_aligned
+    dp = float(optim["delaunay_penalty"])
+    if dp <= 0.0 or len(pw.tris) == 0:
+        return None  # no spatial term: lazy and eager models coincide
+    max_n = solver.get("tpu_eager_max_n", 600)
+    if max_n is None or n > int(max_n):
+        return None
+    pairs = np.asarray(pw.valid_pairs, dtype=np.int64).reshape(-1, 2)
+    cnt = np.bincount(pairs[:, 0], minlength=n).astype(np.float64)
+    combos = float(cnt[pw.tris].prod(axis=1).sum())
+    if combos > 3e6:
+        return None
+
+    from .solver.milp_oracle import solve_mip_oracle
+
+    slot_ref = pw.problem.slot_ref
+    ref_limits = np.bincount(
+        slot_ref[slot_ref >= 0], minlength=pw.problem.n_ref
+    )
+    nm_cost = np.asarray(pw.problem.nm_cost[:n], dtype=np.float64)
+    t0 = time.time()
+    try:
+        res = solve_mip_oracle(
+            pairs,
+            np.asarray(pw.pair_costs, dtype=np.float64),
+            n,
+            pw.problem.n_ref,
+            ref_limits,
+            float(optim["penalty_coeff"]),
+            nm_cost,
+            triangles=pw.tris,
+            tri_weights=pw.tri_weights,
+            source_signs=pw.source_signs,
+            ref_coords=pw.ref_coords,
+            delaunay_penalty=dp,
+            eager_triangles=True,
+            mip_gap=float(solver["mip_gap"]),
+            time_limit=(
+                max(1.0, deadline - time.time()) if deadline else None
+            ),
+        )
+    except (RuntimeError, MemoryError) as e:
+        if verbose:
+            print(f"eager exact solve unavailable ({e}); using tearing")
+        return None
+
+    match_ref = np.asarray(res.match_ref, dtype=np.int64)
+    match_pair = np.full(n, -1, dtype=np.int64)
+    for p in np.flatnonzero(res.x > 0.5):
+        match_pair[pairs[p, 0]] = p
+    tris = pw.tris
+    src = np.asarray(pw.source_signs)
+    tri_match = match_ref[tris]
+    all_matched = (tri_match >= 0).all(axis=1)
+    ref_xy = np.asarray(pw.ref_coords, dtype=np.float64)
+    rt = np.clip(tri_match, 0, len(ref_xy) - 1)
+    a, b, c = ref_xy[rt[:, 0]], ref_xy[rt[:, 1]], ref_xy[rt[:, 2]]
+    cross = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (
+        b[:, 1] - a[:, 1]
+    ) * (c[:, 0] - a[:, 0])
+    sgn = np.sign(cross).astype(np.int64)
+    checked = all_matched & (src != 0) & (sgn != 0)
+    flipped = checked & (sgn != src)
+    tearing_cost = float(
+        dp * np.sum(np.asarray(pw.tri_weights, np.float64) * res.q)
+    )
+    solve_time = time.time() - t0
+    if verbose:
+        print(
+            f"eager exact MILP: objective {res.objective:.3f} "
+            f"({int(flipped.sum())}/{int(checked.sum())} flips, "
+            f"{solve_time:.1f}s)"
+        )
+    return TearingResult(
+        match_ref=match_ref,
+        match_pair=match_pair,
+        objective=float(res.objective),
+        assignment_objective=float(res.objective) - tearing_cost,
+        flipped=flipped,
+        checked=checked,
+        flip_fraction=float(flipped.sum() / max(int(checked.sum()), 1)),
+        cuts_added=0,
+        tear_rounds=0,
+        q_active=np.asarray(res.q) > 1e-6,
+        info={
+            "eager_exact": True,
+            "solve_total": solve_time,
+            "time_limit_reached": bool(
+                deadline is not None and time.time() > deadline
+            ),
+        },
+    )
+
+
 def solve_prepared(
     pw: PreparedWindow,
     deadline: Optional[float] = None,
@@ -533,6 +647,17 @@ def solve_prepared(
             f"dp={optim['delaunay_penalty']}"
         )
     t0 = time.time()
+
+    # Selectable eager model (reference src/helpers.py:444-573): for small
+    # lazy_constraints=False windows, solve the complete O(n*k^3)
+    # formulation exactly instead of emulating eager via zero-budget
+    # flips-pay tearing. Hard mode keeps the tearing path (its zero-flip
+    # guarantee already subsumes the eager semantics).
+    if not lazy_constraints and not optim["hard_spatial_constraints"]:
+        eager_result = _solve_eager_exact(pw, deadline, verbose)
+        if eager_result is not None:
+            pw.stage_times["solve"] = eager_result.info["solve_total"]
+            return eager_result
 
     # Small-window fast path: sub-512-cell problems are latency-bound, not
     # compute-bound — on a remote accelerator the per-round transfers and
@@ -744,6 +869,7 @@ def finalize_window(
             "warm_start": pw.warm_info,
             "stage_times": dict(pw.stage_times),
             "repair_stats": result.info.get("repair_stats", {}),
+            "eager_exact": bool(result.info.get("eager_exact", False)),
         },
     }
 
@@ -780,6 +906,7 @@ def finalize_window(
                 "tear_rounds": int(result.tear_rounds),
                 "cuts_added": int(result.cuts_added),
                 "time_limit_reached": time_limit_reached,
+                "eager_exact": bool(result.info.get("eager_exact", False)),
                 "warm_start": pw.warm_info,
                 "stage_times": {
                     k: round(float(v), 4) for k, v in pw.stage_times.items()

@@ -82,6 +82,12 @@ def init_solver_params(**overrides) -> Dict[str, Any]:
         # GIL); host-heavy stages stay serialized under a shared lock so
         # the wall-clock-budgeted repair never shares the host. 1 disables.
         "tpu_pipeline_windows": 2,
+        # optim_params['lazy_constraints']=False routes windows up to this
+        # many aligned points to the complete eager O(n*k^3) MILP (reference
+        # src/helpers.py:444-573) solved exactly by HiGHS; larger eager
+        # windows fall back to the zero-budget tearing emulation
+        # (ARCHITECTURE.md). None disables the exact route entirely.
+        "tpu_eager_max_n": 600,
         # Concurrent component-MILP solves inside exact repair. None = auto
         # (cpu_count capped at 8; 1 on single-core hosts). Groups are
         # vertex- AND ref-disjoint, so parallel solves apply identically to
