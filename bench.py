@@ -29,6 +29,45 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 import numpy as np
 import pandas as pd
 
+
+def _wait_for_backend(max_wait_s=900.0, poll_s=45.0, probe_timeout_s=150.0):
+    """Block until a JAX backend can initialize, probing in subprocesses.
+
+    The tunneled TPU worker occasionally crashes and takes ~5 minutes to
+    recover ("kernel fault" mode); a bench launched into that window would
+    die (or hang) at backend init. JAX caches a failed plugin init for the
+    life of the process, so the probe runs in a fresh subprocess each time;
+    this process only touches jax after a probe succeeds.
+    """
+    import subprocess
+    import sys
+
+    t0 = time.time()
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() - t0 > max_wait_s:
+            print(
+                "backend probe never succeeded; proceeding anyway",
+                file=sys.stderr,
+                flush=True,
+            )
+            return
+        print(
+            f"backend unavailable; retrying in {poll_s:.0f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(poll_s)
+
 # Reference: 249.9 min total at dp=25 over a 3x3 window grid.
 BASELINE_SECONDS = 249.9 * 60.0 / 9.0
 
@@ -102,6 +141,7 @@ def main():
         help="delaunay_penalty (25 = headline row; 50 = Fig S18 blow-up row)",
     )
     args = ap.parse_args()
+    _wait_for_backend()
     # Reference baselines per dp from Fig S18 (total min / 9 windows).
     baselines = {25.0: 249.9 * 60.0 / 9.0, 50.0: 608.9 * 60.0 / 9.0}
     baseline_s = baselines.get(args.dp, BASELINE_SECONDS)
