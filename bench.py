@@ -51,16 +51,19 @@ def _wait_for_backend(max_wait_s=900.0, poll_s=45.0, probe_timeout_s=150.0):
                 capture_output=True,
             )
             if r.returncode == 0:
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
         if time.time() - t0 > max_wait_s:
             print(
-                "backend probe never succeeded; proceeding anyway",
+                "backend probe never succeeded; falling back to CPU",
                 file=sys.stderr,
                 flush=True,
             )
-            return
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+            return False
         print(
             f"backend unavailable; retrying in {poll_s:.0f}s",
             file=sys.stderr,
@@ -130,6 +133,12 @@ def run_once(mc_ref, mc_align, type_names, dp=25.0):
     return time.time() - t0, matches, var_out
 
 
+def _platform():
+    import jax
+
+    return jax.default_backend()
+
+
 def main():
     import argparse
 
@@ -177,6 +186,7 @@ def main():
                     float(var_out["tpu"]["flip_fraction"]), 4
                 ),
                 "objective": round(float(var_out["tpu"]["objective"]), 1),
+                "platform": _platform(),
             }
         )
     )
