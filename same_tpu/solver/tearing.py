@@ -157,6 +157,7 @@ def solve_with_tearing(
     max_cuts_per_round: int = 1000,
     max_tear_rounds: int = 25,
     plateau_patience: int = 6,
+    plateau_tol: float = 1e-4,
     eps_final: float = 1e-2,
     eps_scaling: float = 4.0,
     hard: bool = False,
@@ -279,6 +280,7 @@ def solve_with_tearing(
                 prices0=np.asarray(prices0) if prices0 is not None else None,
                 deadline=deadline,
                 plateau_patience=plateau_patience,
+                plateau_tol=plateau_tol,
             )
         except Exception as e:  # runtime fault -> host-loop fallback
             print(
@@ -449,7 +451,10 @@ def solve_with_tearing(
             score = base_score + max(
                 0.0, float(delaunay_penalty) * flip_w - _W_A
             )
-            if score < best_score - max(1e-9, 1e-9 * abs(best_score)):
+            # Relative-margin improvement test (tpu_tear_plateau_tol), same
+            # semantics as the device loop: gains inside the margin do not
+            # reset the patience counter.
+            if score < best_score - max(1e-9, plateau_tol * abs(best_score)):
                 best_score = score
                 rounds_since_improve = 0
             else:

@@ -42,7 +42,7 @@ def _tearing_loop(
     tris, tri_mask, src, ref_xy, tri_weights,
     full_schedule, warm_schedule,
     delaunay_penalty, allowed_flip_fraction, penalty_coeff, hard, patience,
-    state, r_end,
+    plateau_tol, state, r_end,
     L: int, K: int, max_tear_rounds: int, max_rounds: int,
     max_cuts_per_round: int, max_cuts_total: int, carry: bool = True,
     warm_max_rounds: int = 0,
@@ -159,7 +159,13 @@ def _tearing_loop(
         score = base_cost + jnp.maximum(
             0.0, delaunay_penalty * flip_w - allowance
         )
-        improved = score < best_score - 1e-5 * jnp.abs(best_score) - 1e-6
+        # An "improvement" must beat the incumbent by a relative margin
+        # (tpu_tear_plateau_tol): micro-gains far inside the mip_gap band
+        # keep resetting the patience counter and burn full auction
+        # re-solves (measured: two LUAD-grid windows rode ~0.001%-per-round
+        # drifts all the way to the 25-round cap at an unchanged final
+        # flip fraction).
+        improved = score < best_score - plateau_tol * jnp.abs(best_score) - 1e-6
         best_score = jnp.minimum(best_score, score)
         since_improve = jnp.where(improved, 0, since_improve + 1)
 
@@ -291,6 +297,7 @@ def run_tearing_device(
     deadline=None,
     carry: bool = True,
     plateau_patience=6,
+    plateau_tol: float = 1e-4,
 ):
     """Run the fused device tearing loop; returns host-side round data.
 
@@ -358,6 +365,7 @@ def run_tearing_device(
         jnp.float32(penalty_coeff),
         jnp.bool_(hard),
         jnp.int32(-1 if plateau_patience is None else int(plateau_patience)),
+        jnp.float32(plateau_tol),
     )
     # Chunked execution: one tear round per device call keeps each XLA
     # execution under runtime watchdog limits (long single executions can
@@ -463,6 +471,7 @@ def run_tearing_device_batch(
     prices0_list=None,
     deadline=None,
     plateau_patiences=None,
+    plateau_tols=None,
 ):
     """Batched fused tearing loop over a window batch, sharded over ``mesh``.
 
@@ -576,6 +585,9 @@ def run_tearing_device_batch(
         ],
         np.int32,
     )
+    tol_b = np.asarray(
+        plateau_tols if plateau_tols is not None else [1e-4] * B, np.float32
+    )
     prices_b = np.zeros((B, S + 1), costs_b.dtype)
     if prices0_list is not None:
         for b, pr in enumerate(prices0_list):
@@ -609,14 +621,14 @@ def run_tearing_device_batch(
 
     def one(costs, slots, valid, nm, pair_idx, cand_ref, slot_rows, slot_cols,
             tris, tri_mask, src, ref_xy, tw, sched, warm, dp, aff, pc, hard,
-            pat, state, r_end):
+            pat, tol, state, r_end):
         return _tearing_loop(
             costs, slots, valid, nm, pair_idx, cand_ref, slot_rows, slot_cols,
             tris, tri_mask, src, ref_xy, tw, sched, warm, dp, aff, pc, hard,
-            pat, state, r_end, **kwargs
+            pat, tol, state, r_end, **kwargs
         )
 
-    batched = jax.jit(jax.vmap(one, in_axes=(0,) * 21 + (None,)))
+    batched = jax.jit(jax.vmap(one, in_axes=(0,) * 22 + (None,)))
 
     # Pad the batch to a multiple of the mesh size with copies of the last
     # window; padded lanes are discarded on return.
@@ -625,7 +637,7 @@ def run_tearing_device_batch(
         costs_b, slots_b, valid_b, nm_b, pair_idx_b, cand_ref_b,
         slot_rows_b, slot_cols_b, tris_b,
         tri_mask_b, src_b, ref_b, tw_b, sched_b, warm_b, dp_b, aff_b, pc_b,
-        hard_b, pat_b,
+        hard_b, pat_b, tol_b,
     ]
     if mesh is not None:
         n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))

@@ -70,6 +70,11 @@ def init_solver_params(**overrides) -> Dict[str, Any]:
         # disables). Each round is a full auction re-solve; zero-budget
         # instances oscillate long before tpu_max_tear_rounds.
         "tpu_tear_patience": 6,
+        # Relative margin a round must beat the best flips-pay score by to
+        # count as an improvement (reset the patience counter). Gains inside
+        # the margin are churn: far below mip_gap, they cost a full auction
+        # re-solve each. Applies to both separation loops.
+        "tpu_tear_plateau_tol": 1e-4,
         # Wall-clock budget (seconds) for the exact-repair phase — the
         # quality/time dial of this pipeline (the analog of Gurobi's
         # time_limit). None = size-based auto heuristics (tearing.py).

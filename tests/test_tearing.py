@@ -260,3 +260,32 @@ def test_plateau_patience_batched_per_window(rng):
     )
     assert datas[0]["rounds_used"] < 30
     assert datas[0]["rounds_used"] <= datas[1]["rounds_used"]
+
+
+def test_plateau_tol_both_loops(rng):
+    """tpu_tear_plateau_tol sets the relative margin an incumbent must beat
+    the best score by to reset the patience counter: a margin wider than any
+    possible gain makes the loop stop right after ``patience`` rounds, on
+    both the host and the fused device loop."""
+    (pairs, costs, n, limits, nm_cost, tris, weights, src, ref_xy) = _swap_instance(
+        rng
+    )
+    problem = build_assignment_problem(pairs, costs, n, n, limits, 100.0, nm_cost)
+    for loop in (False, "force"):
+        kw = dict(
+            delaunay_penalty=2.0, penalty_coeff=100.0,
+            allowed_flip_fraction=0.0, eps_final=1e-3, max_tear_rounds=30,
+            device_loop=loop, plateau_patience=2,
+        )
+        res_wide = solve_with_tearing(
+            problem, costs, tris, weights, src, ref_xy,
+            plateau_tol=0.5, **kw
+        )
+        res_tight = solve_with_tearing(
+            problem, costs, tris, weights, src, ref_xy,
+            plateau_tol=1e-12, **kw
+        )
+        # Round 1 sets best_score; every later round's gain is inside the
+        # 50% margin, so rounds 2-3 exhaust the patience.
+        assert res_wide.tear_rounds <= 3, loop
+        assert res_wide.tear_rounds <= res_tight.tear_rounds, loop
