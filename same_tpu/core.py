@@ -734,7 +734,10 @@ def solve_prepared(
                 result = result2
             result.info["eps_retry"] = eps2
     pw.stage_times["solve"] = time.time() - t0
-    for k in ("separation_time", "repair_time", "incumbent_eval_time"):
+    for k in (
+        "separation_time", "repair_time", "incumbent_eval_time",
+        "host_queue_time",
+    ):
         if k in result.info:
             pw.stage_times[k] = result.info[k]
     return result

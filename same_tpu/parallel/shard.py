@@ -304,7 +304,10 @@ def _finish_groups(
                 repair_workers=pw.solver.get("tpu_repair_workers"),
             )
             pw.stage_times["solve"] = t_sep / max(len(pws), 1)
-            for k2 in ("separation_time", "repair_time", "incumbent_eval_time"):
+            for k2 in (
+                "separation_time", "repair_time", "incumbent_eval_time",
+                "host_queue_time",
+            ):
                 if k2 in res.info:
                     pw.stage_times[k2] = res.info[k2]
             pw.stage_times["separation_time"] = t_sep / max(len(pws), 1)

@@ -658,8 +658,12 @@ def _finish_solve_impl(
     """
     import time as _time
 
+    # Stamp work start AFTER the HOST_LOCK wait: under the pipelined window
+    # orchestrator a window can queue behind another window's repair for
+    # minutes, and that wait is scheduling, not incumbent evaluation.
+    t_impl_start = _time.time()
     if t_sep_end is None:
-        t_sep_end = _time.time()
+        t_sep_end = t_impl_start
     n = problem.n_aligned
     T = len(tris)
     tri_weights = np.asarray(tri_weights, dtype=np.float64)
@@ -879,7 +883,8 @@ def _finish_solve_impl(
             "rounds": rounds,
             "time_limit_reached": time_limit_reached,
             "separation_time": t_sep_end - t_sep_start,
-            "incumbent_eval_time": t_eval_end - t_sep_end,
+            "host_queue_time": t_impl_start - t_sep_end,
+            "incumbent_eval_time": t_eval_end - t_impl_start,
             "repair_time": t_repair_end - t_eval_end,
             "repair_stats": repair_stats,
         },

@@ -129,7 +129,7 @@ def test_stage_times_recorded(rng):
     for key in (
         "candidates", "triangulate", "filter_triangles", "costs",
         "build_problem", "solve", "verify", "separation_time",
-        "repair_time", "incumbent_eval_time",
+        "repair_time", "incumbent_eval_time", "host_queue_time",
     ):
         assert key in st, f"missing stage time: {key}"
         assert st[key] >= 0.0
