@@ -95,7 +95,14 @@ def run_grid(mc_ref, mc_align, type_names, dp, out=None, verbose=True):
             dist_ct_coeff=1, penalty_coeff=100, delaunay_penalty=dp,
             cell_id_col="metacell_id", ref_metacell_match_multiplier=3,
         ),
-        solver_params=dict(mip_gap=0.05, lazy_allowed_flip_fraction=0.05),
+        solver_params=dict(
+            mip_gap=0.05, lazy_allowed_flip_fraction=0.05,
+            # Measured on this workload (BENCH_NOTES): the two largest grid
+            # windows ride the 25-round tear cap on micro-gains far inside
+            # mip_gap; the relative margin stops them ~200 s earlier at an
+            # unchanged final flip fraction. Library default is 0.0.
+            tpu_tear_plateau_tol=1e-4,
+        ),
         verbose=verbose,
     )
     return time.time() - t0, matches

@@ -696,7 +696,7 @@ def solve_prepared(
                 max_cuts_per_round=solver["lazy_max_cuts_per_incumbent"],
                 max_tear_rounds=solver["tpu_max_tear_rounds"],
                 plateau_patience=solver.get("tpu_tear_patience", 6),
-                plateau_tol=solver.get("tpu_tear_plateau_tol", 1e-4),
+                plateau_tol=solver.get("tpu_tear_plateau_tol", 0.0),
                 eps_final=eps,
                 eps_scaling=float(solver["tpu_eps_scaling"]),
                 hard=optim["hard_spatial_constraints"],

@@ -234,7 +234,7 @@ def solve_windows_sharded(
                 p.solver.get("tpu_tear_patience", 6) for p in pws
             ],
             plateau_tols=[
-                p.solver.get("tpu_tear_plateau_tol", 1e-4) for p in pws
+                p.solver.get("tpu_tear_plateau_tol", 0.0) for p in pws
             ],
         )
         return datas, t_sep0, _time.time() - t_sep0

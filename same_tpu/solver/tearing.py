@@ -157,7 +157,7 @@ def solve_with_tearing(
     max_cuts_per_round: int = 1000,
     max_tear_rounds: int = 25,
     plateau_patience: int = 6,
-    plateau_tol: float = 1e-4,
+    plateau_tol: float = 0.0,
     eps_final: float = 1e-2,
     eps_scaling: float = 4.0,
     hard: bool = False,

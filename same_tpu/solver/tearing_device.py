@@ -297,7 +297,7 @@ def run_tearing_device(
     deadline=None,
     carry: bool = True,
     plateau_patience=6,
-    plateau_tol: float = 1e-4,
+    plateau_tol: float = 0.0,
 ):
     """Run the fused device tearing loop; returns host-side round data.
 
@@ -586,7 +586,7 @@ def run_tearing_device_batch(
         np.int32,
     )
     tol_b = np.asarray(
-        plateau_tols if plateau_tols is not None else [1e-4] * B, np.float32
+        plateau_tols if plateau_tols is not None else [0.0] * B, np.float32
     )
     prices_b = np.zeros((B, S + 1), costs_b.dtype)
     if prices0_list is not None:

@@ -74,7 +74,7 @@ def init_solver_params(**overrides) -> Dict[str, Any]:
         # count as an improvement (reset the patience counter). Gains inside
         # the margin are churn: far below mip_gap, they cost a full auction
         # re-solve each. Applies to both separation loops.
-        "tpu_tear_plateau_tol": 1e-4,
+        "tpu_tear_plateau_tol": 0.0,
         # Wall-clock budget (seconds) for the exact-repair phase — the
         # quality/time dial of this pipeline (the analog of Gurobi's
         # time_limit). None = size-based auto heuristics (tearing.py).
