@@ -269,3 +269,23 @@ def test_local_repair_spends_flip_allowance():
         7.0, 50.0, False, flip_penalty=7.0, flip_allowance=0.0,
     )
     assert mr2.tolist() == [0, 1, 2]
+
+
+def test_oracle_node_limit_knob():
+    """node_limit reaches HiGHS and the call still returns a valid solution.
+
+    The knob is a testing-only cut-off (component models are usually
+    root-bound, milp_oracle.py): on this tiny instance node 0 already
+    yields the optimum, so a 1-node limit must not change the answer.
+    """
+    from same_tpu.solver.milp_oracle import solve_mip_oracle
+
+    pairs, costs, nm, ref_xy, tris, w, src = _flip_allowance_instance()
+    kw = dict(
+        triangles=tris, tri_weights=w, source_signs=src, ref_coords=ref_xy,
+        delaunay_penalty=7.0, eager_triangles=True,
+    )
+    base = (pairs, costs, 3, 4, np.ones(4, np.int64), 50.0, nm)
+    res = solve_mip_oracle(*base, node_limit=1, **kw)
+    assert res.match_ref.tolist() == [0, 1, 2]
+    assert res.objective == pytest.approx(5.0)
