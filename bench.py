@@ -174,8 +174,25 @@ def main():
 
     # Warm-up run: XLA compilation for this shape bucket.
     run_once(mc_ref, mc_align, type_names, dp=args.dp)
-    # Measured run.
-    elapsed, matches, var_out = run_once(mc_ref, mc_align, type_names, dp=args.dp)
+    # Median of 3 measured runs: tunneled-TPU throughput varies up to ~2x
+    # run-to-run (BENCH_NOTES), so a single draw makes the headline number
+    # hostage to one tunnel hiccup.
+    iters = []
+    for _ in range(3):
+        iters.append(run_once(mc_ref, mc_align, type_names, dp=args.dp))
+    iters.sort(key=lambda t: t[0])
+    elapsed, matches, var_out = iters[len(iters) // 2]
+    walls = [round(t[0], 1) for t in iters]
+
+    # Device-duty telemetry: wall seconds the device/tunnel was executing
+    # vs host-side repair+eval, and auction bidding-round throughput.
+    tpu = var_out["tpu"]
+    stage = tpu.get("stage_times", {})
+    dev_s = float(tpu.get("device_time") or stage.get("device_time") or 0.0)
+    host_s = float(stage.get("repair_time", 0.0)) + float(
+        stage.get("incumbent_eval_time", 0.0)
+    )
+    rounds_total = int(tpu.get("auction_rounds_total") or 0)
 
     print(
         json.dumps(
@@ -188,11 +205,22 @@ def main():
                 "value": round(elapsed, 3),
                 "unit": "s",
                 "vs_baseline": round(baseline_s / elapsed, 2),
+                "iterations_s": walls,
+                "spread_pct": round(
+                    100.0 * (walls[-1] - walls[0]) / max(walls[0], 1e-9), 1
+                ),
                 "matches": int(len(matches)),
                 "flip_fraction": round(
                     float(var_out["tpu"]["flip_fraction"]), 4
                 ),
                 "objective": round(float(var_out["tpu"]["objective"]), 1),
+                "device_busy_s": round(dev_s, 1),
+                "host_busy_s": round(host_s, 1),
+                "device_duty": round(dev_s / max(elapsed, 1e-9), 3),
+                "auction_rounds_total": rounds_total,
+                "auction_rounds_per_s": (
+                    round(rounds_total / dev_s, 1) if dev_s > 0 else None
+                ),
                 "platform": _platform(),
             }
         )

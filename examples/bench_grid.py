@@ -108,6 +108,38 @@ def run_grid(mc_ref, mc_align, type_names, dp, out=None, verbose=True):
     return time.time() - t0, matches
 
 
+def harvest_stage_telemetry(out, wall_s):
+    """Aggregate per-window stage telemetry (device-duty, VERDICT r4 item 6).
+
+    Each window's solver_state.json carries stage_times incl. device_time
+    (wall seconds its separation spent executing on the device/tunnel).
+    """
+    import glob
+
+    dev = sep = rep = ev = 0.0
+    n = 0
+    for p in sorted(glob.glob(os.path.join(out, "window_*", "solver_state.json"))):
+        try:
+            st = json.load(open(p)).get("solve", {}).get("stage_times", {})
+        except Exception:
+            continue
+        n += 1
+        dev += float(st.get("device_time", 0.0))
+        sep += float(st.get("separation_time", 0.0))
+        rep += float(st.get("repair_time", 0.0))
+        ev += float(st.get("incumbent_eval_time", 0.0))
+    if not n:
+        return {}
+    return {
+        "windows_with_telemetry": n,
+        "device_busy_s": round(dev, 1),
+        "separation_s": round(sep, 1),
+        "repair_s": round(rep, 1),
+        "incumbent_eval_s": round(ev, 1),
+        "device_duty": round(dev / max(wall_s, 1e-9), 3),
+    }
+
+
 def evaluate(matches, mc_ref, mc_align, type_names):
     from same_tpu import (
         merge_window_matches_unique_ref,
@@ -225,6 +257,12 @@ def main():
         f"ref {len(ref_df)}->{len(mc_ref.metacell_df)} ({t_collapse:.0f}s)"
     )
 
+    if not args.out:
+        # Telemetry (and resume artifacts) need a checkpoint dir.
+        import tempfile
+
+        args.out = tempfile.mkdtemp(prefix="same_grid_bench_")
+        print(f"checkpoints: {args.out}")
     t_solve, matches = run_grid(
         mc_ref, mc_align, type_names, args.dp, out=args.out
     )
@@ -266,6 +304,8 @@ def main():
     }
     if resume_info is not None:
         result["resume_test"] = resume_info
+    if args.out:
+        result.update(harvest_stage_telemetry(args.out, t_solve))
     if not args.skip_eval:
         result.update(evaluate(matches, mc_ref, mc_align, type_names))
     print(json.dumps(result))

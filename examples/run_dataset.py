@@ -240,9 +240,147 @@ def evaluate(matches, mc_ref, mc_align, common, dataset):
     }
 
 
+def exact_window_objective(pw, match_ref, match_pair, frac=0.05):
+    """Exact flips-pay objective of a matching on a prepared window.
+
+    The accounting of solver/repair._RepairState with no registered cuts:
+    base assignment cost + congestion + no-match + dp * flipped weight
+    beyond the ``frac`` budget allowance — the common yardstick used to
+    compare our solutions against the recovered published Gurobi
+    alignments (BENCH_NOTES round 4).
+    """
+    import numpy as np
+
+    from same_tpu.solver.repair import _RepairState
+
+    dp = float(pw.optim["delaunay_penalty"])
+    src = np.asarray(pw.source_signs)
+    checkable_w = (
+        float(np.asarray(pw.tri_weights)[src != 0].sum())
+        if len(pw.tris)
+        else 0.0
+    )
+    st = _RepairState(
+        pw.problem, pw.pair_costs, pw.tris, pw.tri_weights, pw.source_signs,
+        np.asarray(pw.ref_coords, float),
+        np.asarray(match_ref, np.int64).copy(),
+        np.asarray(match_pair, np.int64).copy(),
+        None, dp, float(pw.optim["penalty_coeff"]),
+        flip_penalty=dp, flip_allowance=dp * frac * checkable_w,
+    )
+    return float(st.obj)
+
+
+def matching_from_matches_df(pw, matches, cell_id_col="metacell_id"):
+    """Map a matches DataFrame onto window rows -> (match_ref, match_pair).
+
+    Returns (mr, mp, n_dropped) — rows whose (aligned, ref) pair is not in
+    the window's candidate set are dropped (counted).
+    """
+    import numpy as np
+
+    a_of = {v: i for i, v in enumerate(pw.aligned_df[cell_id_col])}
+    r_of = {v: i for i, v in enumerate(pw.ref_df[cell_id_col])}
+    pair_of = {
+        (int(i), int(j)): p
+        for p, (i, j) in enumerate(np.asarray(pw.valid_pairs))
+    }
+    n = pw.problem.n_aligned
+    mr = np.full(n, -1, np.int64)
+    mp = np.full(n, -1, np.int64)
+    dropped = 0
+    for a_id, r_id in zip(
+        matches[f"Aligned_{cell_id_col}"], matches[f"Ref_{cell_id_col}"]
+    ):
+        a, r = a_of.get(a_id), r_of.get(r_id)
+        p = pair_of.get((a, r)) if a is not None and r is not None else None
+        if p is None:
+            dropped += 1
+            continue
+        mr[a], mp[a] = r, p
+    return mr, mp, dropped
+
+
+def published_consistent_matching(pw, rec_csv, ref_loaded, id_col):
+    """Cheapest full assignment consistent with a recovered published figure.
+
+    ``rec_csv`` (examples/results/reference_*_matches.csv, from
+    recover_published_alignment.py) lists each published match's
+    (query_type, ref_row) — ref_row positional in the loaded ref frame.
+    The published per-query assignment is not recoverable from the figure,
+    so the most favorable interpretation is taken: for each query type,
+    the MIN-COST assignment of that type's query cells onto exactly the
+    recovered ref rows over the window's candidate graph; uncovered
+    queries pay no-match. Returns (mr, mp, n_unmapped).
+    """
+    import numpy as np
+    import pandas as pd
+    from scipy.optimize import linear_sum_assignment
+
+    rec = pd.read_csv(rec_csv)
+    orig_ids = ref_loaded[id_col].to_numpy()
+    member_to_row = {m[0]: i for i, m in enumerate(pw.ref_df["members"])}
+    qt = pw.aligned_df["cell_type"].to_numpy()
+    pair_of = {
+        (int(i), int(j)): p
+        for p, (i, j) in enumerate(np.asarray(pw.valid_pairs))
+    }
+    costs = np.asarray(pw.pair_costs)
+    BIG = 1e9
+    n = pw.problem.n_aligned
+    mr = np.full(n, -1, np.int64)
+    mp = np.full(n, -1, np.int64)
+    unmapped = 0
+    for t in rec["query_type"].unique():
+        wrows = []
+        for rr in rec.loc[rec["query_type"] == t, "ref_row"]:
+            wr = member_to_row.get(orig_ids[int(rr)])
+            if wr is None:
+                unmapped += 1
+            else:
+                wrows.append(wr)
+        qrows = np.flatnonzero(qt == t)
+        if not len(wrows) or not len(qrows):
+            continue
+        M = np.full((len(qrows), len(wrows)), BIG)
+        for qi, q in enumerate(qrows):
+            for wi, w in enumerate(wrows):
+                p = pair_of.get((int(q), int(w)))
+                if p is not None:
+                    M[qi, wi] = costs[p]
+        ri, ci = linear_sum_assignment(M)
+        for qi, wi in zip(ri, ci):
+            if M[qi, wi] >= BIG / 2:
+                unmapped += 1
+                continue
+            q, w = int(qrows[qi]), int(wrows[wi])
+            mr[q], mp[q] = w, pair_of[(q, w)]
+    return mr, mp, unmapped
+
+
+def prepare_paper_window(mc_ref, mc_align, common, cfg, dp=10, knn=8, ms=1):
+    """PreparedWindow over the full extent (heart/tongue are single-window)."""
+    from same_tpu.core import prepare_window
+
+    min_angle = cfg.get("min_angle_deg", 15)
+    optim = dict(
+        max_matches=cfg.get("max_matches", 1), radius=cfg["radius"], knn=knn,
+        no_match_penalty=10000, dist_ct_coeff=1, penalty_coeff=100,
+        delaunay_penalty=dp, cell_id_col="metacell_id",
+        ref_metacell_match_multiplier=ms, min_angle_deg=min_angle,
+        ignore_same_type_triangles=cfg.get("ignore_same_type_triangles", True),
+    )
+    return prepare_window(
+        mc_ref.metacell_df, mc_align, common,
+        optim_params=optim,
+        solver_params=dict(mip_gap=cfg.get("mip_gap", 0.05)),
+        verbose=False,
+    )
+
+
 def run_and_evaluate(
     dataset, data_dir, dp=10, knn=8, ms=None, out=None, solver_overrides=None,
-    optim_overrides=None,
+    optim_overrides=None, return_artifacts=False,
 ):
     """Collapse -> sliding windows -> reference-notebook evaluation.
 
@@ -324,6 +462,12 @@ def run_and_evaluate(
                 f"top-1/2/3 = {result['top1_pct']}/{result['top2_pct']}/"
                 f"{result['top3_pct']}%"
             )
+    if return_artifacts:
+        return result, dict(
+            matches=matches, mc_ref=mc_ref, mc_align=mc_align,
+            ref=ref, align=align, common=common, cfg=cfg, dp=dp, knn=knn,
+            ms=ms,
+        )
     return result
 
 

@@ -705,6 +705,13 @@ def solve_prepared(
                 deadline=deadline,
                 repair_budget=solver.get("tpu_repair_budget"),
                 repair_workers=solver.get("tpu_repair_workers"),
+                auction_patience=solver.get("tpu_auction_patience", 128),
+                mip_gap=(
+                    float(solver["mip_gap"])
+                    if solver.get("tpu_gap_certificate", True)
+                    else None
+                ),
+                speculative_repair=solver.get("tpu_speculative_repair", True),
                 verbose=verbose,
             )
 
@@ -736,7 +743,7 @@ def solve_prepared(
     pw.stage_times["solve"] = time.time() - t0
     for k in (
         "separation_time", "repair_time", "incumbent_eval_time",
-        "host_queue_time",
+        "host_queue_time", "device_time",
     ):
         if k in result.info:
             pw.stage_times[k] = result.info[k]
@@ -869,6 +876,8 @@ def finalize_window(
             "flip_fraction": result.flip_fraction,
             "tear_rounds": result.tear_rounds,
             "auction_rounds": result.info.get("rounds"),
+            "auction_rounds_total": result.info.get("auction_rounds_total"),
+            "device_time": result.info.get("device_time"),
             "solve_time": solve_time,
             "warm_start": pw.warm_info,
             "stage_times": dict(pw.stage_times),

@@ -25,7 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.assignment import AssignmentProblem
-from ..solver.auction import _auction_run, make_eps_schedule
+from ..solver.auction import _auction_run, make_eps_schedule, natural_stop_args
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "windows") -> Mesh:
@@ -106,11 +106,14 @@ def solve_window_batch(
 
     S = problems[0].n_slots
 
+    obj_args = natural_stop_args(costs.shape[1], eps_final)
+
     def solve_one(c, s, v, n, sr, sc):
         prices0 = jnp.zeros(S + 1, dtype=c.dtype)
         res = _auction_run(
             c, s, v, n, prices0, eps_schedule, max_rounds=max_rounds,
             slot_rows=sr, slot_cols=sc,
+            obj_patience=obj_args[0], obj_tol=obj_args[1], obj_band=obj_args[2],
         )
         return res.choice, res.prices, res.rounds
 
@@ -236,6 +239,15 @@ def solve_windows_sharded(
             plateau_tols=[
                 p.solver.get("tpu_tear_plateau_tol", 0.0) for p in pws
             ],
+            obj_patience=solver0.get("tpu_auction_patience", 128),
+            mip_gaps=[
+                (
+                    float(p.solver["mip_gap"])
+                    if p.solver.get("tpu_gap_certificate", True)
+                    else None
+                )
+                for p in pws
+            ],
         )
         return datas, t_sep0, _time.time() - t_sep0
 
@@ -302,15 +314,22 @@ def _finish_groups(
                 ),
                 repair_budget_override=pw.solver.get("tpu_repair_budget"),
                 repair_workers=pw.solver.get("tpu_repair_workers"),
+                mip_gap=(
+                    float(pw.solver["mip_gap"])
+                    if pw.solver.get("tpu_gap_certificate", True)
+                    else None
+                ),
             )
             pw.stage_times["solve"] = t_sep / max(len(pws), 1)
             for k2 in (
                 "separation_time", "repair_time", "incumbent_eval_time",
-                "host_queue_time",
+                "host_queue_time", "device_time",
             ):
                 if k2 in res.info:
                     pw.stage_times[k2] = res.info[k2]
             pw.stage_times["separation_time"] = t_sep / max(len(pws), 1)
+            if "device_time" in data:
+                pw.stage_times["device_time"] = data["device_time"]
             # Gap certification (mirrors solve_prepared): the auction bounds
             # suboptimality by n * eps; on the rare epsilon-sizing miss,
             # re-solve this one window finer through the sequential path.

@@ -52,6 +52,8 @@ class AuctionResult(NamedTuple):
     prices: jax.Array   # [S+1] f32: final slot prices (last entry is dummy)
     rounds: jax.Array   # [] i32: total bidding rounds executed
     owner: jax.Array    # [S+1] i32: per-slot holder (carryable warm state)
+    phase: jax.Array    # [] i32: epsilon phase at exit (P = finished)
+    polish: jax.Array   # [] i32: polish repetitions of the final phase
 
 
 def _values(costs, slots, valid, nm_cost, prices):
@@ -66,6 +68,7 @@ def _auction_run(
     costs, slots, valid, nm_cost, prices0, eps_schedule, max_rounds,
     max_polish=64, assigned0=None, owner0=None,
     slot_rows=None, slot_cols=None,
+    obj_patience=None, obj_tol=None, obj_band=None,
 ):
     """Fused auction: all epsilon phases + polish in ONE while_loop.
 
@@ -76,7 +79,17 @@ def _auction_run(
 
     - a phase ends when a round produces no assignment change and no bids;
     - the final epsilon phase repeats (up to ``max_polish`` times) until a
-      full phase passes with no assignment change.
+      full phase passes with no assignment change;
+    - NATURAL TERMINATION (the quality-driven stop): once the final-eps
+      phase's placement value (unplaced bidders costed at their
+      reservation) has not improved by ``obj_tol`` for ``obj_patience``
+      rounds AND the current round sits within ``obj_band`` of the best
+      seen, the solve finishes. Contested instances otherwise churn
+      holders within the eps tolerance without ever producing the
+      no-move round the fixed-point test needs, which made the round
+      budget the *effective* termination (and made solution quality
+      budget-sensitive). With this stop the budgets are a safety net.
+      ``obj_patience <= 0`` (or None) disables it.
     """
     n, C = costs.shape
     S = prices0.shape[0] - 1
@@ -84,15 +97,21 @@ def _auction_run(
     bidder_ids = jnp.arange(n, dtype=jnp.int32)
     NULL = jnp.int32(C)
     max_total = jnp.int32(max_rounds)
+    if obj_patience is None:
+        obj_patience = jnp.int32(0)
+    if obj_tol is None:
+        obj_tol = jnp.float32(0.0)
+    if obj_band is None:
+        obj_band = jnp.float32(0.0)
 
     def cond(state):
         (assigned, owner, prices, phase, boundary, changed_in_phase, polish,
-         it) = state
+         it, best_obj, since_obj, phase_start, last_stall_best) = state
         return (phase < P) & (it < max_total)
 
     def body(state):
         (assigned, owner, prices, phase, boundary, changed_in_phase, polish,
-         it) = state
+         it, best_obj, since_obj, phase_start, last_stall_best) = state
         eps = eps_schedule[jnp.minimum(phase, P - 1)]
 
         # --- Boundary step (first round of each phase only; lax.cond so the
@@ -276,23 +295,80 @@ def _auction_run(
         )
         changed_in_phase = changed_in_phase | moved
 
-        # --- Phase-transition logic on fixed point -------------------------
+        # --- Natural termination / phase-stall bookkeeping -----------------
+        # Placement value of the CURRENT state, unplaced bidders at their
+        # reservation cost — a genuine feasible-completion value. One [n]
+        # gather per round, negligible next to the [n, C] bidding ops.
+        col_cur = jnp.clip(new_assigned, 0, C - 1)
+        on_slot = (new_assigned >= 0) & (new_assigned < NULL)
+        cur_obj = jnp.sum(
+            jnp.where(on_slot, costs[bidder_ids, col_cur], nm_cost)
+        )
+        obj_improved = cur_obj < best_obj - obj_tol
+        best_obj = jnp.minimum(best_obj, cur_obj)
+        since_obj = jnp.where(obj_improved, jnp.int32(0), since_obj + 1)
+        # A phase STALLS once the placement value hasn't improved for
+        # max(obj_patience, rounds-in-phase / 3) rounds. Two measured
+        # pathologies motivate the rule:
+        # - contested instances churn evictions within a phase without ever
+        #   producing the no-move round the fixed-point test needs (a
+        #   512-bidder near-tie instance was still in phase 5/16 after 20k
+        #   rounds — the epsilon schedule never descended and the round
+        #   budget was the effective stop);
+        # - genuine improvements can arrive tens of thousands of rounds
+        #   apart (a 30-bidder congestion instance: 1.4% of objective after
+        #   round 140k of 210k), so a FIXED patience either cuts real
+        #   progress or never fires. Relative patience bounds wasted churn
+        #   at ~1.5x the productive prefix of the phase.
+        # A stalled non-final phase ADVANCES to the next epsilon (finer
+        # price refinement is more productive than finishing a stuck war);
+        # a stalled final phase finishes — the quality-driven termination
+        # that makes round budgets a safety net instead of the stop.
+        stall = (obj_patience > 0) & (
+            since_obj
+            >= jnp.maximum(obj_patience, (it - phase_start) // 3)
+        )
+
+        # --- Phase-transition logic (fixed point OR stall) -----------------
         fixed = ~moved
         is_last = phase >= P - 1
+        fixed_or_stall = fixed | stall
+        # A stalled FINAL phase is not finished outright: the stall first
+        # triggers a boundary (release + reverse-auction drain — the step
+        # that advances augmenting chains without eps-increment wars) and
+        # the solve only finishes when a drain fails to unlock ANY further
+        # improvement by the next stall. On a 30-bidder congestion
+        # instance, finishing at the first stall forfeited 1.4% that
+        # subsequent drains recover.
+        drain_failed = best_obj >= last_stall_best - obj_tol
+        stall_finish = stall & is_last & (
+            drain_failed | (polish >= max_polish)
+        )
+        stall_repeat = stall & is_last & ~stall_finish
         # Advance through the schedule; on the last phase, repeat while the
         # phase still changed something (polish), else finish.
-        repeat_last = fixed & is_last & changed_in_phase & (polish < max_polish)
-        finish = fixed & is_last & (~changed_in_phase | (polish >= max_polish))
-        advance = fixed & ~is_last
+        repeat_last = (
+            fixed & is_last & changed_in_phase & (polish < max_polish) & ~stall
+        )
+        finish = (
+            fixed & is_last & (~changed_in_phase | (polish >= max_polish))
+        ) | stall_finish
+        advance = fixed_or_stall & ~is_last
 
         new_phase = jnp.where(finish, P, jnp.where(advance, phase + 1, phase))
-        new_polish = jnp.where(repeat_last, polish + 1, polish)
-        new_boundary = fixed  # next round starts a (possibly repeated) phase
-        new_changed = jnp.where(fixed, False, changed_in_phase)
+        new_polish = jnp.where(repeat_last | stall_repeat, polish + 1, polish)
+        new_boundary = fixed_or_stall  # next round starts a phase
+        new_changed = jnp.where(fixed_or_stall, False, changed_in_phase)
+        # The stall window restarts at each true phase advance and at each
+        # stall-triggered drain of the final phase.
+        new_phase_start = jnp.where(advance | stall_repeat, it + 1, phase_start)
+        since_obj = jnp.where(advance | stall_repeat, jnp.int32(0), since_obj)
+        last_stall_best = jnp.where(stall_repeat, best_obj, last_stall_best)
 
         return (
             new_assigned, new_owner, newp, new_phase, new_boundary,
-            new_changed, new_polish, it + 1,
+            new_changed, new_polish, it + 1, best_obj, since_obj,
+            new_phase_start, last_stall_best,
         )
 
     if assigned0 is None:
@@ -302,10 +378,12 @@ def _auction_run(
     state = (
         assigned0, owner0, prices0, jnp.int32(0), jnp.bool_(True),
         jnp.bool_(False), jnp.int32(0), jnp.int32(0),
+        jnp.float32(np.inf), jnp.int32(0), jnp.int32(0), jnp.float32(np.inf),
     )
-    (assigned, owner, prices, _ph, _b, _c, _po, it) = jax.lax.while_loop(
-        cond, body, state
+    (assigned, owner, prices, _ph, _b, _c, _po, it, _bo, _so, _ps, _lsb) = (
+        jax.lax.while_loop(cond, body, state)
     )
+    exit_phase, exit_polish = _ph, _po
 
     # Final placement for bidders still unassigned at the round cap: a
     # truncated contested solve can leave a handful of bidders who lost
@@ -348,7 +426,29 @@ def _auction_run(
     for _ in range(4):
         assigned, owner, prices = place_once((assigned, owner, prices))
     assigned = jnp.where(assigned < 0, jnp.int32(C), assigned)
-    return AuctionResult(choice=assigned, prices=prices, rounds=it, owner=owner)
+    return AuctionResult(
+        choice=assigned, prices=prices, rounds=it, owner=owner,
+        phase=exit_phase, polish=exit_polish,
+    )
+
+
+def natural_stop_args(n: int, eps_final: float, patience: int = 128):
+    """Traced-scalar args for the auction's objective-plateau stop.
+
+    The improvement tolerance and the near-best band scale with n * eps —
+    the auction's optimality granularity — so the stop never forfeits more
+    than a small fraction of the n*eps suboptimality bound the epsilon was
+    sized for (core.prepare_window's mip_gap certification).
+    ``patience <= 0`` disables the stop (budget-only termination).
+    """
+    import jax.numpy as _jnp
+
+    p = 0 if patience is None else int(patience)
+    return (
+        _jnp.int32(p),
+        _jnp.float32(float(eps_final) * max(n / 16.0, 1.0)),
+        _jnp.float32(float(eps_final) * max(n / 8.0, 1.0)),
+    )
 
 
 SCHEDULE_LEN = 16
@@ -423,8 +523,15 @@ def solve_assignment(
     extra_costs: np.ndarray | None = None,
     eps_schedule: np.ndarray | None = None,
     return_raw: bool = False,
+    obj_patience: int = 0,
 ):
     """Solve a window assignment problem; returns (match_ref, match_pair, info).
+
+    ``obj_patience`` enables the objective-stall termination (see
+    ``_auction_run``): 0 keeps the exact fixed-point semantics — right for
+    standalone/oracle use where wall-clock is cheap; the solve pipeline
+    passes ``tpu_auction_patience`` (default 128) because its round
+    budgets otherwise become the effective stop on contested instances.
 
     match_ref : [n] ref row matched to each aligned point, or -1.
     match_pair : [n] index into the original pair list, or -1.
@@ -475,6 +582,9 @@ def solve_assignment(
     else:
         prices = jnp.asarray(prices0, dtype=costs.dtype)
 
+    obj_args = natural_stop_args(
+        problem.costs.shape[0], float(eps_schedule[-1]), obj_patience
+    )
     result = _auction_run(
         costs,
         jnp.asarray(problem.slots),
@@ -485,6 +595,9 @@ def solve_assignment(
         max_rounds=max_rounds,
         slot_rows=jnp.asarray(problem.slot_rows),
         slot_cols=jnp.asarray(problem.slot_cols),
+        obj_patience=obj_args[0],
+        obj_tol=obj_args[1],
+        obj_band=obj_args[2],
     )
     if return_raw:
         # Device-resident result; caller handles (minimal) host transfers.
@@ -503,6 +616,8 @@ def solve_assignment(
         "prices": np.asarray(result.prices),
         "prices_dev": result.prices,  # device-resident copy for warm restarts
         "rounds": int(result.rounds),
+        "phase": int(result.phase),
+        "polish": int(result.polish),
         "eps_schedule": eps_schedule,
     }
     return match_ref, match_pair, info

@@ -25,7 +25,12 @@ import numpy as np
 
 from ..models.assignment import AssignmentProblem
 from ..ops.orient import matched_triangle_flips
-from .auction import _auction_run, default_eps_schedule, warm_eps_schedule
+from .auction import (
+    _auction_run,
+    default_eps_schedule,
+    natural_stop_args,
+    warm_eps_schedule,
+)
 
 _HARD_PENALTY = 1e7
 
@@ -42,7 +47,7 @@ def _tearing_loop(
     tris, tri_mask, src, ref_xy, tri_weights,
     full_schedule, warm_schedule,
     delaunay_penalty, allowed_flip_fraction, penalty_coeff, hard, patience,
-    plateau_tol, state, r_end,
+    plateau_tol, obj_patience, obj_tol, obj_band, gap_stop, state, r_end,
     L: int, K: int, max_tear_rounds: int, max_rounds: int,
     max_cuts_per_round: int, max_cuts_total: int, carry: bool = True,
     warm_max_rounds: int = 0,
@@ -62,7 +67,7 @@ def _tearing_loop(
     def body(state):
         (extra, prices, assigned_c, owner_c, r, cuts_added, stop, cut_mem,
          cut_cnt, all_choices, all_flipped, all_checked, all_rounds,
-         best_score, since_improve) = state
+         best_score, since_improve, best_r) = state
 
         # Warm-carry assignments and ownership across tear rounds: only the
         # newly surcharged pairs violate eps-CS at the boundary, so re-solves
@@ -108,6 +113,7 @@ def _tearing_loop(
             costs + extra, slots, valid, nm, prices_in, sched,
             max_rounds=rounds_budget, assigned0=assigned_in, owner0=owner_in,
             slot_rows=slot_rows, slot_cols=slot_cols,
+            obj_patience=obj_patience, obj_tol=obj_tol, obj_band=obj_band,
         )
         choice = res.choice
         col = jnp.clip(choice, 0, C - 1)
@@ -168,11 +174,31 @@ def _tearing_loop(
         improved = score < best_score - plateau_tol * jnp.abs(best_score) - 1e-6
         best_score = jnp.minimum(best_score, score)
         since_improve = jnp.where(improved, 0, since_improve + 1)
+        best_r = jnp.where(improved, r, best_r)
+
+        # Round-0 mip_gap certificate (the low-dp fast path): if the
+        # UNSURCHARGED assignment optimum's tearing hinge is already inside
+        # the mip_gap band, no separation round (or repair) can improve the
+        # objective by more than the gap Gurobi itself terminates within —
+        # ship the first incumbent. Round 0 only: later incumbents under
+        # cut surcharges can show a transiently small hinge mid-descent
+        # (the ISS-heart regime), where stopping would forfeit real
+        # flip-quality the reference's callback achieves.
+        hinge = jnp.maximum(
+            0.0, delaunay_penalty * flip_w - allowance
+        )
+        gap_certified = (
+            (gap_stop > 0.0)
+            & (r == 0)
+            & ~hard
+            & (hinge <= gap_stop * (base_cost + hinge))
+        )
 
         stop_now = (
             (n_checked == 0)
             | (n_flipped == 0)
             | frac_ok
+            | gap_certified
             | (cuts_added >= max_cuts_total)
             # Plateau patience is a traced scalar (tpu_tear_patience);
             # negative disables the plateau stop.
@@ -232,6 +258,7 @@ def _tearing_loop(
             extra, res.prices, res.choice, res.owner, r + 1,
             cuts_added + added, stop, cut_mem, cut_cnt, all_choices,
             all_flipped, all_checked, all_rounds, best_score, since_improve,
+            best_r,
         )
 
     def cond(state):
@@ -262,6 +289,7 @@ def _init_state(n, C, T, K, R, prices0):
         jnp.zeros(R, jnp.int32),
         jnp.float32(np.inf),                   # best incumbent score so far
         jnp.int32(0),                          # rounds since improvement
+        jnp.int32(0),                          # round index of best incumbent
     )
 
 
@@ -298,6 +326,9 @@ def run_tearing_device(
     carry: bool = True,
     plateau_patience=6,
     plateau_tol: float = 0.0,
+    obj_patience: int = 128,
+    mip_gap=None,
+    on_round=None,
 ):
     """Run the fused device tearing loop; returns host-side round data.
 
@@ -366,6 +397,8 @@ def run_tearing_device(
         jnp.bool_(hard),
         jnp.int32(-1 if plateau_patience is None else int(plateau_patience)),
         jnp.float32(plateau_tol),
+        *natural_stop_args(n_pad, float(eps_final), obj_patience),
+        jnp.float32(mip_gap if mip_gap is not None else -1.0),
     )
     # Chunked execution: one tear round per device call keeps each XLA
     # execution under runtime watchdog limits (long single executions can
@@ -403,7 +436,9 @@ def run_tearing_device(
     state = _init_state(n_pad, C, T, K, max_tear_rounds, prices_init)
     r_host = 0
     time_limit_reached = False
+    device_time = 0.0
     while r_host < max_tear_rounds:
+        t_chunk = _time.time()
         state = _tearing_loop(
             *args, state, jnp.int32(r_host + chunk), **kwargs
         )
@@ -414,11 +449,19 @@ def run_tearing_device(
         state = jax.tree.map(jnp.copy, state)
         # Two tiny scalar pulls per chunk.
         r_host = int(state[4])
+        # The scalar pull above synchronizes, so this wall slice is device
+        # execution + tunnel transfer — the bench's device-duty numerator.
+        device_time += _time.time() - t_chunk
         if bool(state[6]) or r_host >= max_tear_rounds:
             break
         if deadline is not None and _time.time() > deadline:
             time_limit_reached = True
             break
+        if on_round is not None:
+            # Mid-loop hook (speculative repair overlap, tearing.py): gives
+            # the host the round counter, stall counter, and device state
+            # while the device keeps separating.
+            on_round(r_host, int(state[14]), state)
 
     # Single bulk transfer of everything else the host needs.
     r = r_host
@@ -442,7 +485,26 @@ def run_tearing_device(
         "cut_tris": cut_tris,
         "cut_verts": cut_verts,
         "cut_pairs": cut_pairs,
+        "device_time": device_time,
     }
+
+
+def snapshot_best_incumbent(state):
+    """Pull the best-so-far incumbent + cut registry from live device state.
+
+    Used by the speculative-repair hook (tearing.py): one [n] choice pull
+    plus the compact cut memory, while the device keeps running subsequent
+    tear rounds. Returns (best_r, choice, flipped, checked, cut_mem,
+    cut_cnt, cuts_added).
+    """
+    br = int(state[15])
+    choice, flipped, checked, cut_mem, cut_cnt, cuts_added = jax.device_get(
+        (
+            state[9][br], state[10][br], state[11][br],
+            state[7], state[8], state[5],
+        )
+    )
+    return br, choice, flipped, checked, cut_mem, cut_cnt, int(cuts_added)
 
 
 def _round_up(x: int, step: int) -> int:
@@ -472,6 +534,8 @@ def run_tearing_device_batch(
     deadline=None,
     plateau_patiences=None,
     plateau_tols=None,
+    obj_patience: int = 128,
+    mip_gaps=None,
 ):
     """Batched fused tearing loop over a window batch, sharded over ``mesh``.
 
@@ -588,6 +652,21 @@ def run_tearing_device_batch(
     tol_b = np.asarray(
         plateau_tols if plateau_tols is not None else [0.0] * B, np.float32
     )
+    # Per-window natural-stop scalars (objective-plateau termination).
+    _stop = [
+        natural_stop_args(n_pad, float(eps_finals[b]), obj_patience)
+        for b in range(B)
+    ]
+    op_b = np.asarray([int(s[0]) for s in _stop], np.int32)
+    ot_b = np.asarray([float(s[1]) for s in _stop], np.float32)
+    ob_b = np.asarray([float(s[2]) for s in _stop], np.float32)
+    gs_b = np.asarray(
+        [
+            (-1.0 if g is None else float(g))
+            for g in (mip_gaps if mip_gaps is not None else [None] * B)
+        ],
+        np.float32,
+    )
     prices_b = np.zeros((B, S + 1), costs_b.dtype)
     if prices0_list is not None:
         for b, pr in enumerate(prices0_list):
@@ -621,14 +700,14 @@ def run_tearing_device_batch(
 
     def one(costs, slots, valid, nm, pair_idx, cand_ref, slot_rows, slot_cols,
             tris, tri_mask, src, ref_xy, tw, sched, warm, dp, aff, pc, hard,
-            pat, tol, state, r_end):
+            pat, tol, op, ot, ob, gs, state, r_end):
         return _tearing_loop(
             costs, slots, valid, nm, pair_idx, cand_ref, slot_rows, slot_cols,
             tris, tri_mask, src, ref_xy, tw, sched, warm, dp, aff, pc, hard,
-            pat, tol, state, r_end, **kwargs
+            pat, tol, op, ot, ob, gs, state, r_end, **kwargs
         )
 
-    batched = jax.jit(jax.vmap(one, in_axes=(0,) * 22 + (None,)))
+    batched = jax.jit(jax.vmap(one, in_axes=(0,) * 26 + (None,)))
 
     # Pad the batch to a multiple of the mesh size with copies of the last
     # window; padded lanes are discarded on return.
@@ -637,7 +716,7 @@ def run_tearing_device_batch(
         costs_b, slots_b, valid_b, nm_b, pair_idx_b, cand_ref_b,
         slot_rows_b, slot_cols_b, tris_b,
         tri_mask_b, src_b, ref_b, tw_b, sched_b, warm_b, dp_b, aff_b, pc_b,
-        hard_b, pat_b, tol_b,
+        hard_b, pat_b, tol_b, op_b, ot_b, ob_b, gs_b,
     ]
     if mesh is not None:
         n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
@@ -669,6 +748,7 @@ def run_tearing_device_batch(
         jnp.zeros((B_pad, max_tear_rounds), jnp.int32),
         jnp.full(B_pad, np.inf, jnp.float32),
         jnp.zeros(B_pad, jnp.int32),
+        jnp.zeros(B_pad, jnp.int32),
     )
 
     if mesh is not None:
@@ -684,12 +764,15 @@ def run_tearing_device_batch(
     chunk = 1
     r_host = 0
     time_limit_reached = [False] * B
+    device_time = 0.0
     while r_host < max_tear_rounds:
+        t_chunk = _time.time()
         state = batched(*args_dev, state, jnp.int32(r_host + chunk))
         # Re-materialize carried buffers (see run_tearing_device).
         state = jax.tree.map(jnp.copy, state)
         r_host += chunk
-        stops = np.asarray(state[6])
+        stops = np.asarray(state[6])  # sync point for this chunk
+        device_time += _time.time() - t_chunk
         if bool(stops[:B].all()) or r_host >= max_tear_rounds:
             break
         if deadline is not None and _time.time() > deadline:
@@ -722,6 +805,7 @@ def run_tearing_device_batch(
                 "cut_tris": cut_tris,
                 "cut_verts": cut_verts,
                 "cut_pairs": cut_pairs,
+                "device_time": device_time / max(B, 1),
             }
         )
     return out

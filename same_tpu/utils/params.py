@@ -98,6 +98,25 @@ def init_solver_params(**overrides) -> Dict[str, Any]:
         # vertex- AND ref-disjoint, so parallel solves apply identically to
         # sequential ones.
         "tpu_repair_workers": None,
+        # Auction natural termination: once the final-epsilon phase's
+        # placement value stalls for max(this, rounds/3) bidding rounds
+        # (and the current round is within an n*eps-scale band of the best
+        # seen), the solve finishes — round budgets become a safety net
+        # instead of the effective stop. <=0 disables.
+        "tpu_auction_patience": 128,
+        # Round-0 mip_gap certificate: when the unsurcharged assignment
+        # optimum's tearing hinge is already inside the mip_gap band, ship
+        # it — no separation rounds, no repair (the low-dp fast path;
+        # Gurobi terminates inside the same band). False disables.
+        "tpu_gap_certificate": True,
+        # Speculative repair overlap for windows with >6144 aligned points:
+        # once the separation score stalls, the best incumbent's exact
+        # repair starts on the host while the device keeps tearing; if the
+        # final best incumbent is unchanged, the serialized repair phase
+        # vanishes from the window's critical path. False restores the
+        # strictly sequential separation -> repair order (and exact
+        # output equality with the mesh-sharded path on such windows).
+        "tpu_speculative_repair": True,
     }
     params.update(overrides)
     return params

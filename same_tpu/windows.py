@@ -14,8 +14,12 @@ Reproduces the reference behaviors:
 Multi-chip execution: windows are embarrassingly parallel. Passing
 ``mesh=`` to ``sliding_window_matching`` prepares every window on host,
 fans the device solves (full tearing separation) out across the mesh via
-``parallel.solve_windows_sharded``, then finalizes windows in grid order so
-outputs are identical to the sequential path.
+``parallel.solve_windows_sharded``, then finalizes windows in grid order.
+The window DECOMPOSITION is identical to the sequential path by
+construction (shared task collector); per-window objectives agree within
+the auction tolerance, though near-tied windows may settle on different
+equal-quality matchings (vmapped float reductions reassociate — see
+tests/test_windows_sharded.py).
 """
 
 from __future__ import annotations
@@ -178,8 +182,9 @@ def sliding_window_matching(
     (src/same.py:297-595) with ``solver_params`` as the TPU-era alias for
     ``gurobi_params``. Passing a ``jax.sharding.Mesh`` as ``mesh`` fans the
     per-window device solves out across its devices (the framework's primary
-    parallel axis); outputs are identical to the sequential path's window
-    decomposition by construction.
+    parallel axis); the window decomposition is identical to the sequential
+    path's by construction (objectives match within the auction tolerance;
+    see module docstring).
 
     ``host_shard=True`` is the multi-host mode (docs/tutorials/multichip.md):
     after the window grid is collected — identically on every process — each
@@ -389,7 +394,8 @@ def sliding_window_matching(
     else:
         # Multi-chip path: host preprocessing per window, then the batched
         # device solve (full tearing separation) sharded over the mesh, then
-        # per-window finalization in grid order (identical outputs).
+        # per-window finalization in grid order (same decomposition; see
+        # module docstring for the equality contract).
         from .core import (
             EmptyWindowError,
             empty_matches_df,

@@ -113,3 +113,56 @@ def test_metacell_ref_capacity(rng):
     obj = matching_objective(match_ref, matched_costs, 1, 5.0, nm_cost)
     # 3 matches at 1.0 + 2 * 5.0 congestion
     assert obj == pytest.approx(13.0)
+
+
+def test_auction_budget_insensitive_natural_stop(rng):
+    """Round budgets are a safety net, not the stop (VERDICT r4 item 4).
+
+    A contested instance (more bidders than slots, near-tied costs) makes
+    the forward auction churn holders within the eps tolerance; before the
+    objective-plateau stop, the round budget terminated such solves and the
+    matching depended on the budget. Now the natural stop fires first, so
+    halving or doubling the budget must leave the matching IDENTICAL, and
+    the rounds actually used must sit well under the smallest budget.
+    """
+    n, m, k = 512, 448, 8
+    aq = rng.uniform(0, 10, (n, 2))
+    rq = rng.uniform(0, 10, (m, 2))
+    from same_tpu.candidates import radius_knn
+
+    idx, dist, mask = radius_knn(aq, rq, radius=4.0, k=k)
+    pairs, costs = [], []
+    for i in range(n):
+        for j, d in zip(idx[i][mask[i]], dist[i][mask[i]]):
+            pairs.append((i, int(j)))
+            # Near-tied costs: contested slots with eps-scale differences.
+            costs.append(1.0 + 1e-3 * float(d) + rng.uniform(0, 1e-3))
+    pairs, costs = np.asarray(pairs), np.asarray(costs)
+    problem = build_assignment_problem(
+        pairs, costs, n, m, np.ones(m, dtype=int), 100.0, np.full(n, 50.0)
+    )
+
+    base_budget = 8192
+    results = {}
+    for mult in (0.5, 1.0, 2.0):
+        mr, mp, info = solve_assignment(
+            problem, eps_final=1e-5, max_rounds=int(base_budget * mult),
+            obj_patience=128,
+        )
+        results[mult] = (mr, mp, info["rounds"])
+    rounds_used = {m_: r for m_, (_, _, r) in results.items()}
+    # The natural stop, not the budget, terminated every solve.
+    assert max(rounds_used.values()) < int(base_budget * 0.5), rounds_used
+    for mult in (1.0, 2.0):
+        np.testing.assert_array_equal(results[0.5][0], results[mult][0])
+        np.testing.assert_array_equal(results[0.5][1], results[mult][1])
+    # And quality did not regress: compare against the exact oracle.
+    matched_costs = np.zeros(n)
+    mr, mp, _ = results[1.0]
+    sel = mp >= 0
+    matched_costs[sel] = costs[mp[sel]]
+    obj = matching_objective(mr, matched_costs, m, 100.0, np.full(n, 50.0))
+    oracle = solve_mip_oracle(
+        pairs, costs, n, m, np.ones(m, dtype=int), 100.0, np.full(n, 50.0)
+    )
+    assert obj <= oracle.objective * 1.02 + n * 1e-5 * 2

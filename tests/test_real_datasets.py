@@ -88,7 +88,48 @@ def _run_dataset(dataset, data_dir):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
     from run_dataset import run_and_evaluate
 
-    return run_and_evaluate(dataset, data_dir, dp=10, knn=8, ms=1)
+    return run_and_evaluate(
+        dataset, data_dir, dp=10, knn=8, ms=1, return_artifacts=True
+    )
+
+
+def _objective_dominance(art, rec_csv):
+    """Our exact objective vs the cheapest published-consistent solution.
+
+    Round 4 recovered the published Gurobi heart/tongue alignments from the
+    reference figures (examples/recover_published_alignment.py, committed
+    CSVs) and showed our solutions score BETTER under the reference's own
+    exact objective (BENCH_NOTES: heart -2,517, tongue -174,032). This
+    turns that analysis into a regression gate (VERDICT r4 item 5):
+    the solve must keep dominating the published-consistent objective.
+    Returns (ours, published).
+    """
+    from run_dataset import (
+        exact_window_objective,
+        matching_from_matches_df,
+        prepare_paper_window,
+        published_consistent_matching,
+    )
+
+    # Heart/tongue are single-window solves; the full-extent window IS the
+    # solved problem, so both matchings score on the same candidate graph.
+    assert art["matches"]["window_id"].nunique() == 1
+    pw = prepare_paper_window(
+        art["mc_ref"], art["mc_align"], art["common"], art["cfg"],
+        dp=art["dp"], knn=art["knn"], ms=art["ms"],
+    )
+    mr, mp, dropped = matching_from_matches_df(pw, art["matches"])
+    assert dropped == 0, f"{dropped} of our matches outside the window graph"
+    ours = exact_window_objective(pw, mr, mp)
+    mr_p, mp_p, unmapped = published_consistent_matching(
+        pw, rec_csv, art["ref"], art["cfg"]["id_col"]
+    )
+    # The recovery pins >99% of published matches onto candidate pairs;
+    # a handful outside the graph fall to no-match (favoring neither side
+    # materially).
+    assert unmapped <= 25, f"{unmapped} published matches unmappable"
+    published = exact_window_objective(pw, mr_p, mp_p)
+    return ours, published
 
 
 @pytest.mark.skipif(
@@ -96,18 +137,28 @@ def _run_dataset(dataset, data_dir):
     reason="heart dataset not available locally",
 )
 def test_heart_paper_config_parity():
-    """Gate the heart dp=10/knn8/MS1 quality pair (VERDICT r3 item 5).
+    """Gate the heart dp=10/knn8/MS1 quality triple (VERDICT r3 item 5 +
+    r4 item 5).
 
     Published (docs/tutorials/heart_benchmark.html cell 21): 3162 matches,
     71.6% 1-NN accuracy, 5.0% same-type-skipped triangle violations.
-    Committed round measurements: examples/results/heart_dp10_knn8_MS1.json.
-    The repair stage is wall-clock budgeted, so run on an idle box; the
-    violation ceiling leaves headroom for budget-induced jitter.
+    Committed round measurements: examples/results/heart_dp10_knn8_MS1.json
+    (71.13% / 3.88%). The repair stage is wall-clock budgeted, so run on an
+    idle box; the ceilings leave headroom for budget-induced jitter.
     """
-    result = _run_dataset("heart", HEART_DATA)
+    result, art = _run_dataset("heart", HEART_DATA)
     assert result["matches"] == 3162
-    assert result["ct_accuracy_pct"] >= 70.5
+    assert result["ct_accuracy_pct"] >= 71.0
     assert result["triangle_violations_pct"] <= 5.5
+    ours, published = _objective_dominance(
+        art,
+        os.path.join(
+            os.path.dirname(__file__), "..",
+            "examples/results/reference_heart_fig3_matches.csv",
+        ),
+    )
+    print(f"heart exact objective: ours {ours:.0f} vs published {published:.0f}")
+    assert ours <= published
 
 
 @pytest.mark.skipif(
@@ -115,13 +166,23 @@ def test_heart_paper_config_parity():
     reason="tongue dataset not available locally",
 )
 def test_tongue_paper_config_parity():
-    """Gate the tongue dp=10/knn8/MS1 quality pair (VERDICT r3 item 5).
+    """Gate the tongue dp=10/knn8/MS1 quality triple (VERDICT r3 item 5 +
+    r4 item 5).
 
     Published (docs/tutorials/tongue_benchmark.html cell 11): 3579 matches,
     84.2% 1-NN accuracy, 18.0% all-type triangle violations. Committed:
-    examples/results/tongue_dp10_knn8_MS1.json (3596 / 83.5% / 12.1%).
+    examples/results/tongue_dp10_knn8_MS1.json (3596 / 83.59% / 12.72%).
     """
-    result = _run_dataset("tongue", TONGUE_DATA)
+    result, art = _run_dataset("tongue", TONGUE_DATA)
     assert result["matches"] >= 3579
-    assert result["ct_accuracy_pct"] >= 83.0
+    assert result["ct_accuracy_pct"] >= 83.4
     assert result["triangle_violations_pct"] <= 18.0
+    ours, published = _objective_dominance(
+        art,
+        os.path.join(
+            os.path.dirname(__file__), "..",
+            "examples/results/reference_tongue_fig4_matches.csv",
+        ),
+    )
+    print(f"tongue exact objective: ours {ours:.0f} vs published {published:.0f}")
+    assert ours <= published
