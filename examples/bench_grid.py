@@ -216,7 +216,12 @@ def _kill_after_n_windows(args, n_windows=2, poll_s=15):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dp", type=float, default=25.0)
+    ap.add_argument(
+        "--dp", type=str, default="25",
+        help="delaunay_penalty, or a comma list (e.g. 0,1,5,10) sharing one "
+        "tissue generation + collapse; with a list, --json/--out act as "
+        "templates where '{dp}' is substituted",
+    )
     ap.add_argument("--out", default=None, help="checkpoint dir (resume)")
     ap.add_argument("--json", default=None)
     ap.add_argument("--cells", type=int, default=100_000)
@@ -230,9 +235,13 @@ def main():
         "checkpointed windows are reused untouched",
     )
     args = ap.parse_args()
+    dps = [float(x) for x in str(args.dp).split(",")]
+    args.dp = dps[0]
 
     resume_info = None
     if args.resume_test:
+        if len(dps) > 1:
+            ap.error("--resume-test takes a single --dp")
         if not args.out:
             ap.error("--resume-test requires --out")
         t_kill0 = time.time()
@@ -257,14 +266,29 @@ def main():
         f"ref {len(ref_df)}->{len(mc_ref.metacell_df)} ({t_collapse:.0f}s)"
     )
 
-    if not args.out:
+    for dp in dps:
+        _run_one_dp(
+            args, dp, mc_ref, mc_align, type_names, t_collapse, resume_info,
+            pre_rows if resume_info is not None else None,
+            pre_windows if resume_info is not None else None,
+        )
+
+
+def _run_one_dp(
+    args, dp, mc_ref, mc_align, type_names, t_collapse, resume_info,
+    pre_rows, pre_windows,
+):
+    out = args.out
+    if out and "{dp}" in out:
+        out = out.format(dp=f"{dp:g}")
+    if not out:
         # Telemetry (and resume artifacts) need a checkpoint dir.
         import tempfile
 
-        args.out = tempfile.mkdtemp(prefix="same_grid_bench_")
-        print(f"checkpoints: {args.out}")
+        out = tempfile.mkdtemp(prefix=f"same_grid_bench_dp{dp:g}_")
+        print(f"checkpoints: {out}")
     t_solve, matches = run_grid(
-        mc_ref, mc_align, type_names, args.dp, out=args.out
+        mc_ref, mc_align, type_names, dp, out=out
     )
     if resume_info is not None:
         # The checkpointed windows must come back byte-identical (they are
@@ -290,9 +314,9 @@ def main():
         t_solve = float(
             matches.groupby("window_id")["run_time"].first().sum()
         )
-    ref_total_s = REFERENCE_TOTAL_MIN.get(args.dp, None)
+    ref_total_s = REFERENCE_TOTAL_MIN.get(dp, None)
     result = {
-        "dp": args.dp,
+        "dp": dp,
         "windows": int(matches["window_id"].nunique()),
         "grid_matches": int(len(matches)),
         "collapse_seconds": round(t_collapse, 1),
@@ -304,13 +328,16 @@ def main():
     }
     if resume_info is not None:
         result["resume_test"] = resume_info
-    if args.out:
-        result.update(harvest_stage_telemetry(args.out, t_solve))
+    if out:
+        result.update(harvest_stage_telemetry(out, t_solve))
     if not args.skip_eval:
         result.update(evaluate(matches, mc_ref, mc_align, type_names))
     print(json.dumps(result))
     if args.json:
-        with open(args.json, "w") as f:
+        jpath = args.json
+        if "{dp}" in jpath:
+            jpath = jpath.format(dp=f"{dp:g}")
+        with open(jpath, "w") as f:
             json.dump(result, f, indent=1)
 
 

@@ -315,8 +315,14 @@ def solve_with_tearing(
             else None
         )
         spec["snap"] = {"br": br}
+        # The window wall-clock is ~(speculation start + this budget): the
+        # device usually finishes its remaining rounds well inside it, so
+        # the budget — not separation — sets the critical path. 65 s
+        # mirrors the serialized path's big-window budget (0.75x a typical
+        # separation, capped 90); BENCH_NOTES measured tripling the repair
+        # budget buys only ~0.09% objective at dp=25.
         budget = (
-            float(repair_budget) if repair_budget is not None else 90.0
+            float(repair_budget) if repair_budget is not None else 65.0
         )
 
         def _run():
