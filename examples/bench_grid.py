@@ -83,9 +83,21 @@ def collapse(df, verbose=False):
     )
 
 
-def run_grid(mc_ref, mc_align, type_names, dp, out=None, verbose=True):
+def run_grid(
+    mc_ref, mc_align, type_names, dp, out=None, verbose=True,
+    solver_overrides=None,
+):
     from same_tpu import sliding_window_matching
 
+    solver = dict(
+        mip_gap=0.05, lazy_allowed_flip_fraction=0.05,
+        # Measured on this workload (BENCH_NOTES): the two largest grid
+        # windows ride the 25-round tear cap on micro-gains far inside
+        # mip_gap; the relative margin stops them ~200 s earlier at an
+        # unchanged final flip fraction. Library default is 0.0.
+        tpu_tear_plateau_tol=1e-4,
+    )
+    solver.update(solver_overrides or {})
     t0 = time.time()
     matches = sliding_window_matching(
         mc_ref, mc_align, outprefix=out,
@@ -95,14 +107,7 @@ def run_grid(mc_ref, mc_align, type_names, dp, out=None, verbose=True):
             dist_ct_coeff=1, penalty_coeff=100, delaunay_penalty=dp,
             cell_id_col="metacell_id", ref_metacell_match_multiplier=3,
         ),
-        solver_params=dict(
-            mip_gap=0.05, lazy_allowed_flip_fraction=0.05,
-            # Measured on this workload (BENCH_NOTES): the two largest grid
-            # windows ride the 25-round tear cap on micro-gains far inside
-            # mip_gap; the relative margin stops them ~200 s earlier at an
-            # unchanged final flip fraction. Library default is 0.0.
-            tpu_tear_plateau_tol=1e-4,
-        ),
+        solver_params=solver,
         verbose=verbose,
     )
     return time.time() - t0, matches
@@ -234,7 +239,13 @@ def main():
         help="kill a child run mid-grid, then resume and verify the "
         "checkpointed windows are reused untouched",
     )
+    ap.add_argument(
+        "--solver", default=None,
+        help="JSON dict of solver_params overrides (e.g. the speed profile "
+        "'{\"tpu_max_tear_rounds\": 8, \"tpu_repair_budget\": 20}')",
+    )
     args = ap.parse_args()
+    args.solver_overrides = json.loads(args.solver) if args.solver else None
     dps = [float(x) for x in str(args.dp).split(",")]
     args.dp = dps[0]
 
@@ -288,7 +299,8 @@ def _run_one_dp(
         out = tempfile.mkdtemp(prefix=f"same_grid_bench_dp{dp:g}_")
         print(f"checkpoints: {out}")
     t_solve, matches = run_grid(
-        mc_ref, mc_align, type_names, dp, out=out
+        mc_ref, mc_align, type_names, dp, out=out,
+        solver_overrides=getattr(args, "solver_overrides", None),
     )
     if resume_info is not None:
         # The checkpointed windows must come back byte-identical (they are
