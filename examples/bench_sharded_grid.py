@@ -13,8 +13,8 @@ Equality contract (windows.py module docstring): identical window
 decomposition; per-window objectives within the auction tolerance; merged
 matchings may differ on near-ties (vmapped float reductions reassociate),
 so the comparison reports pair agreement and asserts it high, plus match
-counts within 0.5%. Repair runs under a generous budget so its component
-MILPs converge (status-0 memo) rather than cut off wall-clock-dependent.
+counts within 0.5%. Both paths share one fixed repair budget so the host
+phase does the same work in each.
 
 Records per-bucket separation/device telemetry and peak RSS (the [B, n, C]
 stack memory question). Writes ONE JSON (``--json``).
@@ -58,10 +58,11 @@ def run_path(mc_ref, mc_align, dp, out, mesh=None):
         solver_params=dict(
             mip_gap=0.05, lazy_allowed_flip_fraction=0.05,
             tpu_tear_plateau_tol=1e-4,
-            # Deterministic-quality repair: budget far above convergence so
-            # component MILPs finish (wall-clock cutoffs would make the two
-            # paths diverge with host load, not algorithm).
-            tpu_repair_budget=900,
+            # A fixed budget both paths share; on an idle box the repair
+            # work is then algorithm-determined, and the comparison below
+            # uses the documented tolerance contract (near-tied windows may
+            # settle on different equal-quality matchings).
+            tpu_repair_budget=120,
         ),
         verbose=False,
     )
@@ -89,7 +90,7 @@ def window_stats(out):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dp", type=float, default=25.0)
-    ap.add_argument("--cells", type=int, default=25_000)
+    ap.add_argument("--cells", type=int, default=18_000)
     ap.add_argument("--json", default=None)
     ap.add_argument("--workdir", default="/tmp/same_sharded_grid")
     args = ap.parse_args()
