@@ -307,6 +307,15 @@ def _auction_run(
         obj_improved = cur_obj < best_obj - obj_tol
         best_obj = jnp.minimum(best_obj, cur_obj)
         since_obj = jnp.where(obj_improved, jnp.int32(0), since_obj + 1)
+        # Completeness: every bidder placed (slot or reservation). A
+        # bidder at -1 is mid-eviction on an augmenting chain; FINISHING
+        # there strands them on no-match at the final placement pass
+        # (measured on the ISS heart: 22 of 3162 cells lost their matches
+        # when the stall cut chains). Completeness gates only the final
+        # finish — contested phases almost always have someone mid-eviction,
+        # so gating phase ADVANCEMENT on it would disable the stall rule
+        # entirely (measured: the 512-bidder instance then rides its full
+        # budget stuck in phases 4-8).
         # A phase STALLS once the placement value hasn't improved for
         # max(obj_patience, rounds-in-phase / 3) rounds. Two measured
         # pathologies motivate the rule:
@@ -324,9 +333,9 @@ def _auction_run(
         # price refinement is more productive than finishing a stuck war);
         # a stalled final phase finishes — the quality-driven termination
         # that makes round budgets a safety net instead of the stop.
+        complete = ~jnp.any(new_assigned == -1)
         stall = (obj_patience > 0) & (
-            since_obj
-            >= jnp.maximum(obj_patience, (it - phase_start) // 3)
+            since_obj >= jnp.maximum(obj_patience, (it - phase_start) // 3)
         )
 
         # --- Phase-transition logic (fixed point OR stall) -----------------
@@ -342,7 +351,7 @@ def _auction_run(
         # subsequent drains recover.
         drain_failed = best_obj >= last_stall_best - obj_tol
         stall_finish = stall & is_last & (
-            drain_failed | (polish >= max_polish)
+            (complete & drain_failed) | (polish >= max_polish)
         )
         stall_repeat = stall & is_last & ~stall_finish
         # Advance through the schedule; on the last phase, repeat while the

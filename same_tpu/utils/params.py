@@ -106,9 +106,14 @@ def init_solver_params(**overrides) -> Dict[str, Any]:
         "tpu_auction_patience": 128,
         # Round-0 mip_gap certificate: when the unsurcharged assignment
         # optimum's tearing hinge is already inside the mip_gap band, ship
-        # it — no separation rounds, no repair (the low-dp fast path;
-        # Gurobi terminates inside the same band). False disables.
-        "tpu_gap_certificate": True,
+        # it — no separation rounds, no repair. DISABLED by default:
+        # measured on the tongue dataset (base objective ~10.9M dwarfs the
+        # ~54k tearing stake), the certificate ships the raw incumbent and
+        # costs 8 accuracy points, while on the LUAD low-dp sweep it never
+        # fires (dp=0 has its own short-circuit; dp>=1 hinges exceed the
+        # band) — within-mip_gap is not the right license to skip flip
+        # quality the reference's callback always pursues.
+        "tpu_gap_certificate": False,
         # Speculative repair overlap for windows with >6144 aligned points:
         # once the separation score stalls, the best incumbent's exact
         # repair starts on the host while the device keeps tearing; if the
