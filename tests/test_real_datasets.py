@@ -103,11 +103,9 @@ def _objective_dominance(art, rec_csv):
     (VERDICT r4 item 5). The committed machinery takes the MOST FAVORABLE
     interpretation of the figure — the per-type min-cost assignment onto
     exactly the recovered ref cells (its flip count reproduces the
-    published solution's: 582 vs the 579 recovered in round 4) — which
-    scores ~6% below the round-4 prose yardstick, so the gate pins our
-    solve within the solver's own mip_gap termination band of that
-    best-case published score (with the tightened accuracy/violation
-    floors carrying the fine-grained quality regression duty).
+    published solution's: 582 vs the 579 recovered in round 4). Our
+    solves dominate even that best case (measured round 5: heart
+    302,584 vs 305,814; tongue 10,897,911 vs 11,071,763).
     Returns (ours, published).
     """
     from run_dataset import (
@@ -163,8 +161,11 @@ def test_heart_paper_config_parity():
             "examples/results/reference_heart_fig3_matches.csv",
         ),
     )
+    # Measured (round 5, idle box): ours 302,584 vs published 305,814 —
+    # strict dominance with a 1.1% margin. The repair phase is wall-clock
+    # budgeted, so a loaded box can eat the margin; run idle.
     print(f"heart exact objective: ours {ours:.0f} vs published {published:.0f}")
-    assert ours <= published * 1.05
+    assert ours <= published
 
 
 @pytest.mark.skipif(
@@ -190,5 +191,7 @@ def test_tongue_paper_config_parity():
             "examples/results/reference_tongue_fig4_matches.csv",
         ),
     )
+    # Measured (round 5, idle box): ours 10,897,911 vs published
+    # 11,071,763 — strict dominance with a 1.6% margin.
     print(f"tongue exact objective: ours {ours:.0f} vs published {published:.0f}")
-    assert ours <= published * 1.05
+    assert ours <= published
