@@ -307,15 +307,17 @@ def _auction_run(
         obj_improved = cur_obj < best_obj - obj_tol
         best_obj = jnp.minimum(best_obj, cur_obj)
         since_obj = jnp.where(obj_improved, jnp.int32(0), since_obj + 1)
-        # Completeness: every bidder placed (slot or reservation). A
-        # bidder at -1 is mid-eviction on an augmenting chain; FINISHING
-        # there strands them on no-match at the final placement pass
-        # (measured on the ISS heart: 22 of 3162 cells lost their matches
-        # when the stall cut chains). Completeness gates only the final
-        # finish — contested phases almost always have someone mid-eviction,
-        # so gating phase ADVANCEMENT on it would disable the stall rule
-        # entirely (measured: the 512-bidder instance then rides its full
-        # budget stuck in phases 4-8).
+        # NOTE on completeness: a bidder at -1 is mid-eviction on an
+        # augmenting chain, and a stall-finish at that moment can strand
+        # it on no-match (measured on the ISS heart under an enabled stall
+        # rule: 22 of 3162 cells). Gating the finish on completeness was
+        # measured too: near-tie workloads rarely produce all-placed
+        # rounds, and the dp=25 LUAD bench window paid +45% device time
+        # for a stranding that never occurs there (10,641/10,641 matched
+        # either way). Resolution: the stall rule is an OPT-IN throughput
+        # dial (pipeline default obj_patience=0 keeps exact fixed-point
+        # termination for parity-pinned data), and opting in accepts the
+        # mid-chain-finish caveat.
         # A phase STALLS once the placement value hasn't improved for
         # max(obj_patience, rounds-in-phase / 3) rounds. Two measured
         # pathologies motivate the rule:
@@ -333,7 +335,6 @@ def _auction_run(
         # price refinement is more productive than finishing a stuck war);
         # a stalled final phase finishes — the quality-driven termination
         # that makes round budgets a safety net instead of the stop.
-        complete = ~jnp.any(new_assigned == -1)
         stall = (obj_patience > 0) & (
             since_obj >= jnp.maximum(obj_patience, (it - phase_start) // 3)
         )
@@ -351,7 +352,7 @@ def _auction_run(
         # subsequent drains recover.
         drain_failed = best_obj >= last_stall_best - obj_tol
         stall_finish = stall & is_last & (
-            (complete & drain_failed) | (polish >= max_polish)
+            drain_failed | (polish >= max_polish)
         )
         stall_repeat = stall & is_last & ~stall_finish
         # Advance through the schedule; on the last phase, repeat while the

@@ -142,7 +142,7 @@ def test_auction_budget_insensitive_natural_stop(rng):
         pairs, costs, n, m, np.ones(m, dtype=int), 100.0, np.full(n, 50.0)
     )
 
-    base_budget = 24576
+    base_budget = 8192
     results = {}
     for mult in (0.5, 1.0, 2.0):
         mr, mp, info = solve_assignment(
